@@ -1,13 +1,249 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.spec._
+import graft.compile.SpecCompiler
+import graft.exec.ValidationRunner
+import graft.io.Docs
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * Validation spec for the driver's `documents` table
+   * (doc_id:int64, text, lang, source, n_chars) — the flat-table analog of
+   * the interleaved-doc spec in [[graft.io.Docs.docSpec]]. Rules chosen so
+   * violations are non-empty on the synthetic data: `lang` enum excludes
+   * "zh", `n_chars` capped at 500 (driver data max is ~553).
+   */
+  val documentsSpec: Spec = Spec(
+    module = "documents-table",
+    defs = Seq(
+      EnumDef("lang-code", Seq("en", "de", "fr", "es")),
+      RecordDef("doc", Seq(
+        PField("doc_id", PInt(0L, Long.MaxValue), Required),
+        PField("text", PString, Required, constraints = Seq(ValidUtf8)),
+        PField("lang", TypeRef("lang-code"), Required),
+        PField("source", PString, Required, constraints = Seq(MatchesRegex("^src[0-9]+$"))),
+        PField("n_chars", PInt(1L, 500L), Required)))),
+    root = "doc")
+
+  lazy val documentsPlan = SpecCompiler.compile(documentsSpec)
+  lazy val docsPlan = SpecCompiler.compile(Docs.docSpec)
+
+  /** Flagship: validate the canonical interleaved-doc domain + the driver's
+    * documents table on sf=0.001; returns per-source pass/fail summary. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = t(spark, "/root/testdata/sf0.001", "documents")
+    val validated = ValidationRunner.validate(docs, documentsPlan)
+    ValidationRunner.summary(validated, Seq("source")).orderBy("source")
+  }
+
+  // SQL fragment mirroring documentsPlan's `valid` for DuckDB oracles.
+  private val validSql =
+    """(doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+      | AND source IS NOT NULL AND n_chars IS NOT NULL
+      | AND lang IN ('en','de','fr','es')
+      | AND regexp_matches(source, '^src[0-9]+$')
+      | AND n_chars BETWEEN 1 AND 500)""".stripMargin.replace("\n", " ")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // B1-B17 compiled constraint evaluation → exact violation rows
+    "v_violations" -> ((s, dir) => {
+      val validated = ValidationRunner.validate(t(s, dir, "documents"), documentsPlan)
+      ValidationRunner.violationRows(validated, "doc_id")
+        .select(col("doc_id"), col("rule"))
+        .orderBy("doc_id", "rule")
+    }),
+
+    // north rule: per-partition pass/fail summaries
+    "v_summary" -> ((s, dir) => {
+      val validated = ValidationRunner.validate(t(s, dir, "documents"), documentsPlan)
+      ValidationRunner.summary(validated, Seq("source")).orderBy("source")
+    }),
+
+    // per-column stats: count / null-count / min / max / exact distinct
+    "v_stats" -> ((s, dir) => {
+      ValidationRunner.columnStats(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"), exactDistinct = true)
+        .orderBy("column")
+    }),
+
+    // uniqueness (dup-key report) — lineitem.l_orderkey has real duplicates
+    "v_unique" -> ((s, dir) => {
+      ValidationRunner.uniqueDuplicates(t(s, dir, "lineitem"), "l_orderkey")
+        .orderBy("l_orderkey")
+    }),
+
+    // referential check: broadcast anti-join against a restricted catalog
+    "v_refcheck" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+      val catalog = t(s, dir, "part").where(col("p_size") < 25).select("p_partkey")
+      ValidationRunner.refCheck(li, "l_partkey", catalog, "p_partkey")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // drift input: contingency counts of lang by source group (exact)
+    "v_chi2_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("grp", when(length(col("source")) === 4, lit("a")).otherwise(lit("b")))
+        .groupBy("grp", "lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("grp", "lang")
+    }),
+
+    // aggregation plane: TPC-H Q1-shaped pricing summary (decimal-exact sums)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("count_order"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("decimal(28,8)")).as("sum_disc_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // join plane: star join, dims broadcast
+    "q_join_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_price"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // top-k: worst offenders report shape (ORDER BY ... LIMIT k)
+    "q_topk" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      orders.groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("total"),
+          count(lit(1)).as("n"))
+        .join(broadcast(customer), col("o_custkey") === customer("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("total"), col("n"))
+        .orderBy(col("total").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    // set ops: customers with no orders (EXCEPT)
+    "q_setop" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    }),
+
+    // window functions: latest event per user
+    "q_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    })
+  )
+
+  /** DuckDB-runnable oracle SQL; column names/aliases match the Spark side. */
+  def oracleSql: Map[String, String] = Map(
+    "v_violations" ->
+      s"""SELECT doc_id, rule FROM (
+         | SELECT doc_id, 'missing-field:doc_id' AS rule FROM documents WHERE doc_id IS NULL
+         | UNION ALL SELECT doc_id, 'missing-field:text' FROM documents WHERE text IS NULL
+         | UNION ALL SELECT doc_id, 'missing-field:lang' FROM documents WHERE lang IS NULL
+         | UNION ALL SELECT doc_id, 'missing-field:source' FROM documents WHERE source IS NULL
+         | UNION ALL SELECT doc_id, 'missing-field:n_chars' FROM documents WHERE n_chars IS NULL
+         | UNION ALL SELECT doc_id, 'unknown-enum:lang' FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+         | UNION ALL SELECT doc_id, 'format:source' FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$$')
+         | UNION ALL SELECT doc_id, 'range:n_chars' FROM documents WHERE n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 500)
+         |) ORDER BY doc_id, rule""".stripMargin.replace("\n", " "),
+
+    "v_summary" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN $validSql THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         | CAST(sum(CASE WHEN $validSql THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
+         | CAST(sum((CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+         |   + (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+         |   + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+         |   + (CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+         |   + (CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+         |   + (CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END)
+         |   + (CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$$') THEN 1 ELSE 0 END)
+         |   + (CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 500) THEN 1 ELSE 0 END)
+         | ) AS BIGINT) AS n_violations
+         | FROM documents GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+
+    "v_stats" ->
+      """SELECT * FROM (
+        | SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS cnt, CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls, min(CAST(doc_id AS VARCHAR)) AS min_s, max(CAST(doc_id AS VARCHAR)) AS max_s, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+        | UNION ALL SELECT 'lang', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT), min(lang), max(lang), CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        | UNION ALL SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT), min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR)), CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+        | UNION ALL SELECT 'source', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT), min(source), max(source), CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        | UNION ALL SELECT 'text', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT), min(text), max(text), CAST(count(DISTINCT text) AS BIGINT) FROM documents
+        |) ORDER BY "column"""".stripMargin.replace("\n", " "),
+
+    "v_unique" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+        | GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
+
+    "v_refcheck" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        | WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size < 25)
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
+
+    "v_chi2_counts" ->
+      """SELECT CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS grp, lang,
+        | CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2 ORDER BY grp, lang""".stripMargin.replace("\n", " "),
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count_order,
+        | sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+        | sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS sum_disc_price
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+
+    "q_join_agg" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        | sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin.replace("\n", " "),
+
+    "q_topk" ->
+      """SELECT c_custkey, c_name, total, n FROM (
+        | SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total,
+        |  CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey) t
+        | JOIN customer ON t.o_custkey = c_custkey
+        | ORDER BY total DESC, c_custkey LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "q_setop" ->
+      """SELECT c_custkey FROM customer
+        | EXCEPT SELECT o_custkey AS c_custkey FROM orders ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "q_window" ->
+      """SELECT user_id, event_id, event_type FROM (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " ")
+  )
 }

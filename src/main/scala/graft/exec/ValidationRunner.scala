@@ -1,0 +1,153 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.compile.ValidationPlan
+
+/**
+ * Distributed execution of a compiled [[graft.compile.ValidationPlan]] —
+ * the Spark analog of the reference's `do_convert` streaming loop
+ * (`src/convert.ml:417-487`) and `piqi check` (`src/check.ml:43-60`): the
+ * sequential one-document-at-a-time pull loop becomes a partition-parallel
+ * scan with ONE wide codegen'd projection.
+ *
+ * Scale notes (designed for 10^12 rows / 1000 executors, tested local):
+ *  - `validate` is a pure narrow projection: no shuffle, no state; reads
+ *    prune to exactly the columns the spec references.
+ *  - `summary` is a partial-aggregable groupBy (map-side combine absorbs
+ *    per-partition volume before the shuffle).
+ *  - `uniqueDuplicates` uses two-level (salted) aggregation so one hot key
+ *    cannot OOM a reducer.
+ *  - `refCheck` picks broadcast vs shuffle join by catalog cardinality.
+ */
+object ValidationRunner {
+
+  /** Per-row validation: input columns + `violations` + `valid`. Narrow, no shuffle. */
+  def validate(df: DataFrame, plan: ValidationPlan): DataFrame =
+    df.withColumn("violations", plan.violations).withColumn("valid", plan.valid)
+
+  /**
+   * Exact violation rows: one output row per (doc, rule) violation — the
+   * analog of the reference's located error messages
+   * (`piqilib/piqloc.ml`; `file:line:col: message` becomes
+   * `(docKey, rule, path, detail)`). Computed in the SAME projection that
+   * feeds [[summary]], so a caller can cache `validate(df)` and run both.
+   */
+  def violationRows(validated: DataFrame, docKey: String): DataFrame =
+    validated
+      .where(size(col("violations")) > 0)
+      .select(col(docKey), explode(col("violations")).as("v"))
+      .select(col(docKey), col("v.rule").as("rule"), col("v.path").as("path"),
+        col("v.detail").as("detail"))
+
+  /**
+   * Per-partition pass/fail summary (north rule: "per-partition pass/fail
+   * summaries"). `partitionCols` are data-partition columns (e.g. source,
+   * date bucket) — grouping is partial-agg friendly.
+   */
+  def summary(validated: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    val keys = partitionCols.map(col)
+    validated
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("valid").cast(LongType)).as("n_valid"),
+        sum((!col("valid")).cast(LongType)).as("n_invalid"),
+        sum(size(col("violations")).cast(LongType)).as("n_violations"))
+  }
+
+  /** Per-rule violation counts (for drift-style monitoring of rule hit-rates). */
+  def ruleCounts(validated: DataFrame): DataFrame =
+    validated
+      .select(explode(col("violations")).as("v"))
+      .groupBy(col("v.rule").as("rule"))
+      .agg(count(lit(1)).as("n"))
+
+  /**
+   * Per-column stats in one pass: count / null-count / min / max /
+   * approx-distinct (HyperLogLog++) — SURVEY.md §2.D row 1-2. One job, one
+   * final aggregate; output long-format (one row per column) so the report
+   * schema is stable regardless of the input schema.
+   *
+   * All metrics are computed in a single `agg` (Catalyst fuses them into one
+   * partial+final hash aggregate), then unpivoted driver-side from the one
+   * result row — NOT one job per column.
+   */
+  def columnStats(df: DataFrame, cols: Seq[String], exactDistinct: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__cnt"),
+        sum(col(c).isNull.cast(LongType)).as(s"${c}__nulls"),
+        min(col(c).cast(StringType)).as(s"${c}__min"),
+        max(col(c).cast(StringType)).as(s"${c}__max"),
+        (if (exactDistinct) count_distinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"${c}__distinct"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.zipWithIndex.map { case (c, i) =>
+      val b = i * 5
+      (c, row.getLong(b), row.getLong(b + 1),
+        Option(row.get(b + 2)).map(_.toString).orNull,
+        Option(row.get(b + 3)).map(_.toString).orNull,
+        row.getLong(b + 4))
+    }.toDF("column", "cnt", "nulls", "min_s", "max_s", "n_distinct")
+  }
+
+  /**
+   * Duplicate-key report (uniqueness of doc_id, SURVEY.md §2.D row 3):
+   * `(key, cnt)` for every key appearing more than once.
+   *
+   * Plain `groupBy(key).count` is already skew-safe for COUNTING (hash
+   * aggregate does map-side partial aggregation, so a hot key contributes
+   * one partial row per input partition). We keep it as the default path.
+   */
+  def uniqueDuplicates(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
+
+  /**
+   * Salted two-level variant for adversarial skew (north rule: "uniqueness
+   * over doc_id via salted repartition"): level 1 aggregates on
+   * (key, salt = crc32(partition-local counter domain)), bounding any
+   * single reducer's share of a hot key to 1/S; level 2 merges the S
+   * partials per key. Results are identical to [[uniqueDuplicates]]
+   * (property-tested), it just bounds reducer fan-in at 10^12 scale.
+   */
+  def uniqueDuplicatesSalted(df: DataFrame, key: String, saltBuckets: Int = 64): DataFrame = {
+    val salted = df
+      .withColumn("_salt", pmod(crc32(concat_ws("#", col(key), spark_partition_id())), lit(saltBuckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+    salted.groupBy(col(key)).agg(sum(col("_partial")).as("cnt")).where(col("cnt") > 1)
+  }
+
+  /** Rows carrying a duplicated key (exact violation rows for the unique rule). */
+  def duplicateRows(df: DataFrame, key: String): DataFrame = {
+    val dups = uniqueDuplicates(df, key)
+    // dup keys are (by definition of a mostly-unique key) a small set → broadcast
+    df.join(broadcast(dups), Seq(key), "inner")
+      .withColumn("rule", concat(lit("unique:"), lit(key)))
+  }
+
+  /**
+   * Referential-integrity check (north rule: "referential checks on
+   * media_ref against a reference catalog using broadcast vs sort-merge
+   * join selection by cardinality") — left-anti join; rows whose `refCol`
+   * does not resolve in `catalog.catKey` are violations, the analog of the
+   * reference's unknown-name resolution error (`piqilib/piqi_db.ml:149-153`).
+   *
+   * Join strategy: if the catalog is (estimated) small, apply the
+   * `broadcast` hint; else leave it to Catalyst/AQE (shuffled hash or SMJ).
+   * `catalogRowHint` lets a caller pass known cardinality (e.g. from table
+   * stats) to avoid the count job.
+   */
+  def refCheck(df: DataFrame, refCol: String, catalog: DataFrame, catKey: String,
+      broadcastMaxRows: Long = 10000000L, catalogRowHint: Option[Long] = None): DataFrame = {
+    val catRows = catalogRowHint.getOrElse(catalog.count())
+    val cat = catalog.select(col(catKey).as(refCol)).distinct()
+    val rhs = if (catRows <= broadcastMaxRows) broadcast(cat) else cat
+    df.where(col(refCol).isNotNull).join(rhs, Seq(refCol), "left_anti")
+  }
+}

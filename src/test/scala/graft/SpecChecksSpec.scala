@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spec._
+
+/**
+ * Schema-compile negative fixtures (FIXTURES.md §3) — plan construction must
+ * throw, porting `/root/reference/tests/infinite_types/Makefile:20-28` and
+ * the structural checks in `piqilib/piqi.ml:207-498`.
+ */
+class SpecChecksSpec extends AnyFunSuite {
+
+  private def rec(name: String, fields: PField*) = RecordDef(name, fields)
+
+  test("S1: duplicate field names rejected") {
+    val e = intercept[SpecException] {
+      Spec("m", Seq(rec("r", PField("a", PString), PField("a", PInt.int32))), "r")
+    }
+    assert(e.getMessage.contains("duplicate field"))
+  }
+
+  test("duplicate type names rejected") {
+    intercept[SpecException] {
+      Spec("m", Seq(rec("r", PField("a", PString)), EnumDef("r", Seq("x"))), "r")
+    }
+  }
+
+  test("S3a: variant with zero options rejected") {
+    intercept[SpecException] {
+      Spec("m", Seq(VariantDef("v", Nil), rec("r", PField("a", TypeRef("v")))), "r")
+    }
+  }
+
+  test("S3b: enum with zero options rejected") {
+    intercept[SpecException] {
+      Spec("m", Seq(EnumDef("e", Nil), rec("r", PField("a", TypeRef("e")))), "r")
+    }
+  }
+
+  test("S4: required-field cycle rejected (infinite record)") {
+    // infinite_record.piqi analog: record referencing itself via required field
+    val e = intercept[SpecException] {
+      Spec("m", Seq(rec("r", PField("self", TypeRef("r"), Required))), "r")
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("S5: optional/repeated cycles also rejected (documented deviation)") {
+    // the reference allows these (piqi.ml:434-440); Spark schemas cannot be
+    // recursive so our engine rejects all cycles at compile time
+    intercept[SpecException] {
+      Spec("m", Seq(rec("r", PField("kids", TypeRef("r"), Repeated),
+        PField("x", PString))), "r")
+    }
+  }
+
+  test("unknown type reference rejected (piqi_db.ml:149-153 analog)") {
+    val e = intercept[SpecException] {
+      Spec("m", Seq(rec("r", PField("a", TypeRef("nope")))), "r")
+    }
+    assert(e.getMessage.contains("unknown type"))
+  }
+
+  test("missing root rejected") {
+    intercept[SpecException] {
+      Spec("m", Seq(rec("r", PField("a", PString))), "not-there")
+    }
+  }
+
+  test("flag desugars to optional bool default false (piqi.ml:663-682)") {
+    val s = Spec("m", Seq(rec("r", PField("is-set", PBool, Flag),
+      PField("x", PString))), "r").resolved
+    val f = s.defTable("r").asInstanceOf[RecordDef].fields.head
+    assert(f.mode === Optional(Some(false)))
+  }
+
+  test("imports merge under qualified names (doc/piqi.md:258-291 analog)") {
+    val dep = Spec("base", Seq(EnumDef("color", Seq("red", "green"))), "color")
+    val s = Spec("m", Seq(rec("r", PField("c", TypeRef("base/color")))), "r",
+      imports = Seq(dep))
+    assert(s.defTable.contains("base/color"))
+  }
+}
