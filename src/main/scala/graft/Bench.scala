@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-round benchmark: runs every SparkEntry query on SPARK_GRAFT_SF_DIR
+ * and the core validation-throughput probe, printing ONE JSON line.
+ * Each query gets one warm-up execution (JIT + codegen cache) before the
+ * timed run, so numbers reflect steady state rather than JVM start-up.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +16,43 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warm-up: one full pass (discard)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try timeIt(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+
+    // constraint-eval throughput probe: 2M interleaved docs, full violation
+    // projection + summary aggregate (the north-rule metric at bench scale)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_DOCS", "2000000").toLong
+    val plan = SparkEntry.docsPlan
+    def validateAll(): Unit = {
+      val docs = graft.io.Docs.generate(spark, nDocs, numPartitions = cpus.toInt * 4,
+        corruptEvery = 1000)
+      graft.exec.ValidationRunner
+        .summary(graft.exec.ValidationRunner.validate(docs, plan), Seq.empty)
+        .collect()
+    }
+    validateAll() // warm-up
+    val tpSec = timeIt(validateAll())
+    val docsPerSec = nDocs / tpSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":$tpSec,"validate_docs_per_sec":$docsPerSec,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -158,6 +158,152 @@ object SparkEntry {
         .where(col("rn") === 1)
         .select("user_id", "event_id", "event_type")
         .orderBy("user_id")
+    }),
+
+    // uniqueness via the salted two-level path — must equal the plain one
+    "v_unique_salted" -> ((s, dir) => {
+      ValidationRunner.uniqueDuplicatesSalted(t(s, dir, "lineitem"), "l_orderkey", 16)
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- training-data pipeline operators ----
+
+    // exact dedup over a corpus with injected duplicates (docs 0..49 doubled)
+    "d_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withDups = docs.select("text").union(docs.where(col("doc_id") < 50).select("text"))
+      graft.ops.Dedup.exactDupGroups(withDups, "text").orderBy("content_hash")
+    }),
+
+    // MinHash+LSH near-dup pairs (banded signatures; no SQL equivalent)
+    "d_minhash_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withDups = docs.select(col("doc_id"), col("text"))
+        .union(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.ops.Dedup.minhashNearDups(withDups, "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs via Manku block bucketing (no SQL equivalent)
+    "d_simhash_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withDups = docs.select(col("doc_id"), col("text"))
+        .union(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.ops.Dedup.simhashNearDups(withDups, "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // word-set Jaccard similarity pairs (exact; verifiable in SQL)
+    "d_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 25)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+      val a = docs.select(col("id").as("id_a"), col("toks").as("ta"))
+      val b = docs.select(col("id").as("id_b"), col("toks").as("tb"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .withColumn("jac", round(graft.ops.Dedup.jaccardWords(col("ta"), col("tb")), 6))
+        .where(col("jac") >= 0.5)
+        .select("id_a", "id_b", "jac")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // embedding cosine near-dup pairs, exact path (SQL-verifiable)
+    "d_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 200)
+      graft.ops.Dedup.embeddingNearDupsExact(e, "vec_id", "embedding", 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // brute-force cosine top-k (bounded-heap aggregator; SQL-verifiable ranks)
+    "s_ann_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "embeddings")
+      val queries = docs.where(col("vec_id") < 5)
+      graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
+          "vec_id", "embedding", k = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (approximate; rows-only check)
+    "s_ann_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "embeddings")
+      val queries = docs.where(col("vec_id") < 5)
+      graft.ops.Ann.lshTopK(docs, queries, "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, bits = 4, probes = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    // token counting (SQL-verifiable)
+    "t_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: stopword ratio + avg token length (SQL-verifiable)
+    "t_quality" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val stops = size(filter(toks, x => x.isin("the", "a", "value", "data")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          stops.cast("long").as("n_stop"),
+          round(stops.cast("double") / size(toks).cast("double"), 6).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic (no SQL equivalent)
+    "t_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.Text.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprinting: rolling hash (no SQL equivalent)
+    "t_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal plumbing: stub decode over synthetic binary payloads
+    "m_features" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.synthesizeMedia(s, 2000)
+      graft.ops.Multimodal.extractFeatures(media).toDF()
+        .groupBy("mime", "ok")
+        .agg(count(lit(1)).as("n"), sum(col("feat_dim")).as("dims"))
+        .orderBy("mime", "ok")
+    }),
+
+    // drift: two-sample KS over t-digest sketches (no SQL equivalent)
+    "v_drift_ks" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .withColumn("grp", when(col("o_orderstatus") === "F", "a").otherwise("b"))
+      val r = graft.exec.Drift.ksTest(orders, "o_totalprice", "grp", "a", "b")
+      Seq((r.group1, r.group2, r.statistic, r.pValue, r.n1, r.n2))
+        .toDF("group1", "group2", "statistic", "p_value", "n1", "n2")
+    }),
+
+    // drift: chi-square homogeneity of lang across source groups
+    "v_drift_chi2" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("grp", when(length(col("source")) === 4, lit("a")).otherwise(lit("b")))
+      val r = graft.exec.Drift.chiSquareTest(docs, "lang", "grp")
+      Seq((r.statistic, r.dof, r.pValue)).toDF("statistic", "dof", "p_value")
+    }),
+
+    // canonical interleaved-doc domain end-to-end (generator → validate → summary)
+    "v_docs_validate" -> ((s, dir) => {
+      val docs = graft.io.Docs.generate(s, 50000, numPartitions = 32, corruptEvery = 100)
+        .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(8)))
+      val validated = ValidationRunner.validate(docs, docsPlan)
+      ValidationRunner.summary(validated, Seq("bucket")).orderBy("bucket")
     })
   )
 
@@ -244,6 +390,56 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type FROM (
         | SELECT user_id, event_id, event_type,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " ")
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "),
+
+    "v_unique_salted" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+        | GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
+
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS cnt FROM (
+        | SELECT text FROM documents UNION ALL SELECT text FROM documents WHERE doc_id < 50)
+        | GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash""".stripMargin.replace("\n", " "),
+
+    "d_jaccard" ->
+      """WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 25)
+        | SELECT a.id AS id_a, b.id AS id_b,
+        |  round((len(list_distinct(a.t)) + len(list_distinct(b.t))
+        |    - len(list_distinct(list_concat(a.t, b.t))))::DOUBLE
+        |    / len(list_distinct(list_concat(a.t, b.t))), 6) AS jac
+        | FROM toks a JOIN toks b ON a.id < b.id
+        | WHERE round((len(list_distinct(a.t)) + len(list_distinct(b.t))
+        |    - len(list_distinct(list_concat(a.t, b.t))))::DOUBLE
+        |    / len(list_distinct(list_concat(a.t, b.t))), 6) >= 0.5
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+
+    "d_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE a.vec_id < 200 AND b.vec_id < 200
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+
+    "s_ann_topk" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |      d.vec_id) AS BIGINT) AS rank
+        | FROM embeddings d JOIN embeddings q ON q.vec_id < 5 AND d.vec_id <> q.vec_id)
+        | WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin.replace("\n", " "),
+
+    "t_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "t_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','value','data'))) AS BIGINT) AS n_stop,
+        | round(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','value','data')))::DOUBLE
+        |   / len(string_split(text, ' ')), 6) AS stop_ratio
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -30,16 +30,16 @@ object SpecCompiler {
     StructField("detail", StringType))), containsNull = false)
 
   /** One conditional violation: single-element array kept iff `cond`. */
-  private[compile] def vio(cond: Column, rule: String, path: String, detail: Column): Column =
+  def vio(cond: Column, rule: String, path: String, detail: Column): Column =
     filter(
       array(struct(lit(rule).as("rule"), lit(path).as("path"),
         coalesce(detail.cast(StringType), lit("null")).as("detail"))),
       _ => cond)
 
-  private[compile] def emptyVio: Column = array().cast(violationType)
+  def emptyVio: Column = array().cast(violationType)
 
   /** Flattens a list of violation arrays into one. */
-  private[compile] def concatVios(vs: Seq[Column]): Column =
+  def concatVios(vs: Seq[Column]): Column =
     if (vs.isEmpty) emptyVio else if (vs.size == 1) vs.head else concat(vs: _*)
 
   def compile(spec0: Spec): ValidationPlan = {

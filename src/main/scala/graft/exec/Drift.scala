@@ -1,0 +1,169 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.TDigest
+
+/**
+ * Distribution-drift checks (north rule: "distribution-drift checks via
+ * two-sample KS/chi-square over t-digest quantile sketches"). The reference
+ * has no statistical layer — this generalizes its per-value validation to
+ * population-level validation (SURVEY.md §2.D).
+ *
+ * Execution shape: the t-digest aggregator is a typed `Aggregator`
+ * (registered with `functions.udaf`), so Spark runs it as a partial+final
+ * hash aggregate — per-partition sketches merged on the driver side of the
+ * exchange, one shuffle of ~KB-sized sketch buffers regardless of input
+ * row count. The KS/χ² statistics are computed driver-side from the merged
+ * sketches (two tiny structs), never from raw data.
+ */
+object Drift {
+
+  /** Typed t-digest aggregator: Double column → serialized sketch bytes. */
+  class TDigestAggregator(compression: Double) extends Aggregator[Double, TDigest, Array[Byte]] {
+    override def zero: TDigest = new TDigest(compression)
+    override def reduce(b: TDigest, a: Double): TDigest = { b.add(a); b }
+    override def merge(b1: TDigest, b2: TDigest): TDigest = { b1.merge(b2); b1 }
+    override def finish(r: TDigest): Array[Byte] = r.serialize()
+    override def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** t-digest as a `Column` aggregate usable in `df.groupBy(...).agg(...)`. */
+  def tdigest(c: Column, compression: Double = 100.0): Column =
+    udaf(new TDigestAggregator(compression), Encoders.scalaDouble)
+      .apply(c.cast("double"))
+
+  /** Per-group sketches: one row per group, sketch bytes column. */
+  def sketchByGroup(df: DataFrame, valueCol: String, groupCol: String,
+      compression: Double = 100.0): Map[String, TDigest] =
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(tdigest(col(valueCol), compression).as("sketch"))
+      .collect()
+      .map(r => r.getString(0) -> TDigest.deserialize(r.getAs[Array[Byte]](1)))
+      .toMap
+
+  /** Two-sample KS statistic from two digests: sup |cdf_a - cdf_b| over probe points. */
+  def ksStatistic(a: TDigest, b: TDigest, probes: Int = 512): Double = {
+    // probe at quantiles of both digests (covers both supports)
+    val qs = (0 to probes).map(_.toDouble / probes)
+    val points = (qs.map(a.quantile) ++ qs.map(b.quantile)).filterNot(_.isNaN).distinct
+    if (points.isEmpty) return Double.NaN
+    points.map(x => math.abs(a.cdf(x) - b.cdf(x))).max
+  }
+
+  /**
+   * Asymptotic two-sample KS p-value: Kolmogorov distribution
+   * Q(λ) = 2 Σ_{k≥1} (-1)^{k-1} e^{-2k²λ²} with the standard effective-n
+   * correction (Numerical Recipes §14.3 form, public).
+   */
+  def ksPValue(d: Double, n1: Double, n2: Double): Double = {
+    if (d.isNaN || n1 <= 0 || n2 <= 0) return Double.NaN
+    val ne = n1 * n2 / (n1 + n2)
+    val lambda = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    var sum = 0.0
+    var k = 1
+    while (k <= 100) {
+      val term = 2.0 * math.pow(-1, k - 1) * math.exp(-2.0 * k * k * lambda * lambda)
+      sum += term
+      if (math.abs(term) < 1e-12) return math.max(0.0, math.min(1.0, sum))
+      k += 1
+    }
+    math.max(0.0, math.min(1.0, sum))
+  }
+
+  final case class KsResult(group1: String, group2: String, statistic: Double,
+      pValue: Double, n1: Double, n2: Double)
+
+  /** Two-sample KS over a numeric column between two groups of `groupCol`. */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      g1: String, g2: String, compression: Double = 200.0): KsResult = {
+    val sketches = sketchByGroup(
+      df.where(col(groupCol).cast("string").isin(g1, g2)), valueCol, groupCol, compression)
+    val (a, b) = (sketches(g1), sketches(g2))
+    val d = ksStatistic(a, b)
+    KsResult(g1, g2, d, ksPValue(d, a.totalWeight, b.totalWeight), a.totalWeight, b.totalWeight)
+  }
+
+  final case class Chi2Result(statistic: Double, dof: Int, pValue: Double)
+
+  /**
+   * Two-sample chi-square homogeneity test over a categorical column:
+   * one distributed groupBy(group, category) count (exact, partial-agg
+   * friendly), statistic computed driver-side from the contingency table.
+   */
+  def chiSquareTest(df: DataFrame, catCol: String, groupCol: String): Chi2Result = {
+    val counts = df
+      .groupBy(col(groupCol).cast("string").as("g"), col(catCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    chiSquareFromCounts(counts)
+  }
+
+  def chiSquareFromCounts(counts: Seq[(String, String, Long)]): Chi2Result = {
+    val groups = counts.map(_._1).distinct.sorted
+    val cats = counts.map(_._2).distinct.sorted
+    val table = counts.map { case (g, c, n) => (g, c) -> n.toDouble }.toMap.withDefaultValue(0.0)
+    val rowTot = groups.map(g => g -> cats.map(c => table((g, c))).sum).toMap
+    val colTot = cats.map(c => c -> groups.map(g => table((g, c))).sum).toMap
+    val total = rowTot.values.sum
+    var stat = 0.0
+    for (g <- groups; c <- cats) {
+      val e = rowTot(g) * colTot(c) / total
+      if (e > 0) { val d = table((g, c)) - e; stat += d * d / e }
+    }
+    val dof = math.max(1, (groups.size - 1) * (cats.size - 1))
+    Chi2Result(stat, dof, 1.0 - gammaP(dof / 2.0, stat / 2.0))
+  }
+
+  /** Regularized lower incomplete gamma P(a,x) (series + continued fraction, NR §6.2). */
+  private def gammaP(a: Double, x: Double): Double = {
+    if (x < 0 || a <= 0) return Double.NaN
+    if (x == 0) return 0.0
+    if (x < a + 1.0) {
+      // series representation
+      var ap = a; var sum = 1.0 / a; var del = sum
+      var i = 0
+      while (i < 500) {
+        ap += 1; del *= x / ap; sum += del
+        if (math.abs(del) < math.abs(sum) * 1e-14) i = 500 else i += 1
+      }
+      sum * math.exp(-x + a * math.log(x) - logGamma(a))
+    } else {
+      // continued fraction for Q, P = 1 - Q
+      var b = x + 1 - a; var c = 1e300; var d = 1.0 / b; var h = d
+      var i = 1
+      while (i <= 500) {
+        val an = -i * (i - a)
+        b += 2
+        d = an * d + b; if (math.abs(d) < 1e-300) d = 1e-300
+        c = b + an / c; if (math.abs(c) < 1e-300) c = 1e-300
+        d = 1.0 / d
+        val del = d * c
+        h *= del
+        if (math.abs(del - 1.0) < 1e-14) i = 501 else i += 1
+      }
+      1.0 - math.exp(-x + a * math.log(x) - logGamma(a)) * h
+    }
+  }
+
+  /** Lanczos log-gamma (public coefficients). */
+  private def logGamma(x: Double): Double = {
+    val g = 7.0
+    val coef = Array(0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5) math.log(math.Pi / math.sin(math.Pi * x)) - logGamma(1 - x)
+    else {
+      val xx = x - 1
+      var a = coef(0)
+      val t = xx + g + 0.5
+      var i = 1
+      while (i < 9) { a += coef(i) / (xx + i); i += 1 }
+      0.5 * math.log(2 * math.Pi) + (xx + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+}

@@ -101,7 +101,7 @@ object Text {
    */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1469598103934665603L),
-      (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
+      (acc, t) => xxhash64(acc, t)) // hash-chain: order-sensitive, overflow-free (ANSI-safe)
 
   /** Word n-gram shingles (n consecutive tokens joined by one space). */
   def shingles(text: Column, n: Int): Column = {

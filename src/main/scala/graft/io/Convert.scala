@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.compile.{SpecCompiler, ValidationPlan}
+import graft.spec._
+
+/**
+ * Format ingest + normalize/emit — the Spark analog of `piqi convert`
+ * (`src/convert.ml:534-573`): read format X, validate against the spec,
+ * re-emit format Y with optional defaults materialization.
+ */
+object Convert {
+
+  /** Build the Spark read-schema for a spec's root record (all nullable —
+    * requiredness is validated, not enforced by the reader). */
+  def sparkSchema(spec: Spec): StructType = {
+    val s = spec.resolved
+    def dataTypeOf(t: PiqiType): DataType = t match {
+      case PBool => BooleanType
+      case _: PInt => LongType
+      case PFloat => DoubleType
+      case PString => StringType
+      case PBinary => BinaryType
+      case PAny => StringType // raw JSON capture, parsed lazily (piqobj.ml:267-318 analog)
+      case TypeRef(n) => s.defTable(n) match {
+        case RecordDef(_, fields) => StructType(fields.map(structField))
+        case VariantDef(_, options) =>
+          StructType(options.map(o => StructField(o.name,
+            o.tpe.map(dataTypeOf).getOrElse(BooleanType), nullable = true)))
+        case EnumDef(_, _) => StringType
+        case ListDef(_, e, _) => ArrayType(dataTypeOf(e))
+        case AliasDef(_, target, _) => dataTypeOf(target)
+      }
+    }
+    def structField(f: PField): StructField = f.mode match {
+      case Repeated => StructField(f.name, ArrayType(dataTypeOf(f.tpe)), nullable = true)
+      case _ => StructField(f.name, dataTypeOf(f.tpe), nullable = true)
+    }
+    s.defTable(s.root) match {
+      case RecordDef(_, fields) => StructType(fields.map(structField))
+      case other => throw new SpecException(s"root must be a record, got $other")
+    }
+  }
+
+  /**
+   * JSON-string ingest with validation — `piqobj_of_json` semantics
+   * (`piqilib/piqobj_of_json.ml`):
+   *  - unparseable JSON → `parse:json` violation (reference raises a
+   *    located error; we collect);
+   *  - unknown top-level keys → warning normally, violation iff
+   *    `spec.strict` (`piqobj_of_json.ml:31-37`, flag `src/convert.ml:499`);
+   *  - then the full compiled constraint pass.
+   *
+   * Returns the parsed columns + `violations` + `valid`.
+   */
+  def fromJson(jsonDf: DataFrame, jsonCol: String, spec: Spec): DataFrame = {
+    val plan = SpecCompiler.compile(spec)
+    val schema = sparkSchema(spec)
+    val knownKeys = schema.fields.map(_.name).toSeq
+    val parsed = jsonDf
+      .withColumn("_rec", from_json(col(jsonCol), schema))
+      .withColumn("_keys", json_object_keys(col(jsonCol)))
+
+    val parseVio = SpecCompiler.vio(
+      col(jsonCol).isNotNull && col("_keys").isNull,
+      "parse:json", "$", col(jsonCol))
+
+    val unknown = filter(coalesce(col("_keys"), array().cast(ArrayType(StringType))),
+      k => !k.isin(knownKeys: _*))
+    val unknownVio =
+      if (spec.strict)
+        SpecCompiler.vio(size(unknown) > 0, "unknown-field", "$",
+          concat_ws(",", unknown))
+      else SpecCompiler.emptyVio
+
+    val flat = parsed.select(
+      (schema.fields.map(f => col(s"_rec.${f.name}").as(f.name)) :+
+        col(jsonCol).as("_raw") :+ parseVio.as("_pv") :+ unknownVio.as("_uv")): _*)
+    flat
+      .withColumn("violations", concat(col("_pv"), col("_uv"), plan.violations))
+      .withColumn("valid", size(col("violations")) === 0)
+      .drop("_pv", "_uv")
+  }
+
+  /**
+   * Emit rows as JSON with reference output semantics
+   * (`piqobj_to_json.ml:27-141`): `omitMissing=true` (the default there)
+   * drops null fields; `addDefaults` materializes declared defaults first
+   * (`src/convert.ml:316-324` — defaults are an output-stage projection).
+   */
+  def toJson(df: DataFrame, plan: ValidationPlan, addDefaults: Boolean = false,
+      omitMissing: Boolean = true): DataFrame = {
+    val base = if (addDefaults) plan.withDefaults(df) else df
+    val dataCols = base.columns.filterNot(c => c == "violations" || c == "valid")
+    base.select(to_json(struct(dataCols.map(col): _*),
+      Map("ignoreNullFields" -> omitMissing.toString)).as("json"))
+  }
+}

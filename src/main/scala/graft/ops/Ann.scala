@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Vectors
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ * Two paths:
+ *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline. The
+ *    scale-relevant part is HOW the top-k is taken: a typed `Aggregator`
+ *    with a bounded heap gives map-side partial top-k (each partition
+ *    contributes ≤k candidates to the shuffle), instead of a window rank
+ *    that would shuffle every (query, doc) score to one reducer per query.
+ *  - [[lshTopK]]: IVF-style scale path — sign-bit LSH buckets as coarse
+ *    cells; queries probe their own cell (+ multiprobe by extra seeds),
+ *    exact cosine only within probed cells.
+ */
+object Ann {
+
+  /** (score, id) pair kept in heaps / results. */
+  final case class Scored(score: Double, id: Long)
+
+  /** Bounded min-heap aggregator: top-k by score with map-side partials. */
+  class TopKAggregator(k: Int)
+      extends Aggregator[Scored, scala.collection.mutable.PriorityQueue[Scored], Seq[Scored]] {
+    private def ord: Ordering[Scored] = Ordering.by(s => -s.score) // min-heap on score
+    override def zero = scala.collection.mutable.PriorityQueue.empty[Scored](ord)
+    override def reduce(h: scala.collection.mutable.PriorityQueue[Scored], a: Scored) = {
+      h.enqueue(a)
+      while (h.size > k) h.dequeue()
+      h
+    }
+    override def merge(h1: scala.collection.mutable.PriorityQueue[Scored],
+        h2: scala.collection.mutable.PriorityQueue[Scored]) = {
+      h2.foreach { s => h1.enqueue(s); while (h1.size > k) h1.dequeue() }
+      h1
+    }
+    override def finish(h: scala.collection.mutable.PriorityQueue[Scored]): Seq[Scored] =
+      h.toSeq.sortBy(s => (-s.score, s.id))
+    override def bufferEncoder: Encoder[scala.collection.mutable.PriorityQueue[Scored]] =
+      Encoders.kryo[scala.collection.mutable.PriorityQueue[Scored]]
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /**
+   * Exact cosine top-k for each query vector. `queries` must be small
+   * (driver-broadcastable); `docs` can be arbitrarily large.
+   *
+   * Plan shape: broadcast-nested-loop of docs × queries (narrow over docs),
+   * then ONE partial-aggregable groupBy(query) with the bounded-heap
+   * aggregator — shuffle volume is O(#queries × k × #partitions), never
+   * O(#docs).
+   */
+  def bruteTopK(docs: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(col(idCol).cast(LongType).as("doc_id"), col(vecCol).as("dv"))
+    val q = queries.select(col(qIdCol).cast(LongType).as("query_id"), col(qVecCol).as("qv"))
+    val scored = d.join(broadcast(q))
+      .where(col("doc_id") =!= col("query_id")) // self-match excluded
+      .select(col("query_id"), col("doc_id"),
+        Vectors.cosine(col("dv"), col("qv")).as("score"))
+
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("score"), col("doc_id")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+  }
+
+  /**
+   * LSH-bucketed ANN: coarse quantization by sign-bit buckets (IVF analog).
+   * Docs are assigned to one cell per probe seed; each query probes the
+   * same cells; exact cosine within cells; global top-k per query from the
+   * per-cell candidates. Recall < 1.0 (approximate); `probes` and `bits`
+   * tune the recall/cost trade-off.
+   */
+  def lshTopK(docs: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String, k: Int, bits: Int = 6, probes: Int = 3): DataFrame = {
+    val d0 = docs.select(col(idCol).cast(LongType).as("doc_id"), col(vecCol).as("dv"))
+    val dBuckets = d0.select(col("doc_id"), col("dv"),
+      posexplode(array((0 until probes).map(s => Vectors.signBits(col("dv"), bits, 42 + s)): _*)))
+      .withColumnRenamed("pos", "probe").withColumnRenamed("col", "cell")
+    val q0 = queries.select(col(qIdCol).cast(LongType).as("query_id"), col(qVecCol).as("qv"))
+    val qBuckets = q0.select(col("query_id"), col("qv"),
+      posexplode(array((0 until probes).map(s => Vectors.signBits(col("qv"), bits, 42 + s)): _*)))
+      .withColumnRenamed("pos", "probe").withColumnRenamed("col", "cell")
+
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    dBuckets.join(broadcast(qBuckets), Seq("probe", "cell"))
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), Vectors.cosine(col("dv"), col("qv")).as("score"))
+      .dropDuplicates("query_id", "doc_id")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id").as("neighbor_id"), col("score"))
+  }
+}

@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{Text, Vectors}
+
+/**
+ * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+ *
+ * Scale design notes (the part that matters at 100 TB):
+ *  - exact dedup is a single hash groupBy (partial-agg absorbs dup mass
+ *    map-side; identical texts collapse before the shuffle);
+ *  - MinHash LSH shuffles only (band-key, doc) pairs — band keys are
+ *    16-byte hashes, not shingle sets — then joins within buckets;
+ *    candidate verification happens AFTER bucketing so the quadratic step
+ *    runs per-bucket, never globally;
+ *  - SimHash groups by rotated prefix blocks (the standard Manku/Jain/
+ *    Sarma WWW'07 trick) so hamming≤k pairs collide in ≥1 block;
+ *  - embedding near-dup buckets by sign-bit LSH before exact cosine.
+ */
+object Dedup {
+
+  /** Exact duplicate groups by full content hash. Returns (content_hash, cnt). */
+  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast(StringType)).as("content_hash"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+
+  /** Keep one representative row per exact-duplicate group (min of `idCol`). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol).cast(StringType))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /**
+   * MinHash signature: `k` independent permutation mins over word-shingle
+   * hashes. Pure column expression: shingles → per-hash-function min of
+   * xxhash64(shingle, seed=i).
+   */
+  def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int = 3): Column = {
+    val sh = array_distinct(Text.shingles(textCol, shingleSize))
+    val mins = (0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
+    }
+    array(mins: _*)
+  }
+
+  /**
+   * MinHash + LSH banding near-dup candidate pairs: signature split into
+   * `bands` bands of rows; docs sharing any band bucket are candidates;
+   * candidates verified by exact signature-similarity (fraction of equal
+   * minhash components ≈ Jaccard).
+   *
+   * Returns (id_a, id_b, sig_sim) with id_a < id_b, sig_sim ≥ threshold.
+   */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val withSig = df
+      .select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+      .where(size(col("sig")) > 0)
+
+    // band key = hash of the band's slice of the signature
+    val banded = withSig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(b, to_json(struct(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
+
+    candidates
+      .withColumn("sig_sim",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast(IntegerType)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / lit(numHashes))
+      .where(col("sig_sim") >= threshold)
+      .select("id_a", "id_b", "sig_sim")
+  }
+
+  /**
+   * 64-bit SimHash over tokens: bit b of the hash is the sign of the sum of
+   * (2*bit_b(xxhash64(token)) - 1) across tokens. Expressed as a single
+   * `aggregate` over a 64-slot counter array — stays in codegen.
+   */
+  def simhash64(textCol: Column): Column = {
+    val toks = Text.tokens(textCol)
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, b) => c + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /**
+   * SimHash near-dup pairs with hamming distance ≤ maxHamming, using
+   * block-rotation bucketing (Manku et al., WWW'07 "Detecting
+   * Near-Duplicates for Web Crawling"): split 64 bits into
+   * (maxHamming + 1) blocks; any pair within hamming ≤ maxHamming shares
+   * at least one exact block (pigeonhole), so bucket-join on
+   * (block_index, block_value) finds all such pairs without O(n²).
+   */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val numBlocks = maxHamming + 1
+    val bitsPerBlock = 64 / numBlocks
+    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val blocked = withSig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(numBlocks - 1)), blk => {
+        val sh = blk * bitsPerBlock
+        val width = when(blk === numBlocks - 1, lit(64) - sh).otherwise(lit(bitsPerBlock))
+        // block value: bits [sh, sh+width)
+        call_function("shiftright", col("sig"), sh)
+          .bitwiseAND(call_function("shiftleft", lit(1L), width) - 1)
+      })))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bval")
+    val a = blocked.select(col("blk"), col("bval"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("blk"), col("bval"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("blk", "bval"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", Vectors.hamming64(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Pairwise word-set Jaccard similarity for candidate pairs (verification step). */
+  def jaccardWords(a: Column, b: Column): Column = {
+    val da = size(array_distinct(a))
+    val db = size(array_distinct(b))
+    val du = size(array_distinct(concat(a, b)))
+    val inter = da + db - du
+    when(du === 0, lit(0.0)).otherwise(inter.cast(DoubleType) / du.cast(DoubleType))
+  }
+
+  /**
+   * n-gram Jaccard near-dups over an explicit candidate set (self-join of a
+   * bounded id range or pre-bucketed candidates). For unbounded inputs use
+   * [[minhashNearDups]] — this exact variant is the verifier / small-N path.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(Text.shingles(col(textCol), n)).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccardWords(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs: bucket by sign-bit LSH (high-cosine
+   * pairs collide with high probability), exact cosine within buckets.
+   * `lshBits` trades recall vs bucket size; multi-probe via several seeds.
+   */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, lshBits: Int = 8, probes: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as("id"), Vectors.normalize(col(vecCol)).as("v"))
+    val bucketed = base.select(col("id"), col("v"),
+      posexplode(array((0 until probes).map(s =>
+        Vectors.signBits(col("v"), lshBits, seed = 42 + s)): _*)))
+      .withColumnRenamed("pos", "probe").withColumnRenamed("col", "bucket")
+    val a = bucketed.select(col("probe"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("probe"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("probe", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", Vectors.dot(col("v_a"), col("v_b"))) // normalized → dot = cosine
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Exact brute-force embedding near-dups (oracle / small-N verification path). */
+  def embeddingNearDupsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = base.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cos", Vectors.cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

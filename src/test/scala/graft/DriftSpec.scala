@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.exec.Drift
+import graft.functions.TDigest
+
+class DriftSpec extends SparkTestBase {
+
+  // deterministic pseudo-random doubles (LCG), no Random seed ambiguity
+  private def lcg(n: Int, seed: Long): Seq[Double] = {
+    var s = seed
+    (0 until n).map { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble)
+    }
+  }
+
+  test("tdigest quantiles accurate on uniform data") {
+    val xs = lcg(20000, 42)
+    val d = TDigest.fromValues(xs)
+    for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+      assert(math.abs(d.quantile(q) - q) < 0.02, s"q=$q got ${d.quantile(q)}")
+    }
+    assert(d.centroidCount < 500, s"compression bound: ${d.centroidCount}")
+  }
+
+  test("tdigest merge associativity: split-merge equals whole") {
+    val xs = lcg(10000, 7)
+    val whole = TDigest.fromValues(xs)
+    val parts = xs.grouped(1000).map(TDigest.fromValues(_)).toSeq
+    val merged = new TDigest(100)
+    parts.foreach(merged.merge)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      assert(math.abs(whole.quantile(q) - merged.quantile(q)) < 0.02)
+    }
+    assert(math.abs(merged.totalWeight - 10000.0) < 1e-9)
+  }
+
+  test("tdigest serialization roundtrip") {
+    val d = TDigest.fromValues(lcg(5000, 3))
+    val d2 = TDigest.deserialize(d.serialize())
+    assert(d2.totalWeight === d.totalWeight)
+    for (q <- Seq(0.25, 0.5, 0.75)) assert(d2.quantile(q) === d.quantile(q))
+  }
+
+  test("distributed tdigest agg equals local digest (local[1] vs local[4] agree)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val xs = lcg(8000, 11)
+    val df = xs.toDF("x").repartition(8)
+    val bytes = df.agg(Drift.tdigest(col("x"))).collect()(0).getAs[Array[Byte]](0)
+    val dist = TDigest.deserialize(bytes)
+    val local = TDigest.fromValues(xs)
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(math.abs(dist.quantile(q) - local.quantile(q)) < 0.02)
+    // partitioning must not change the answer materially
+    val bytes1 = df.coalesce(1).agg(Drift.tdigest(col("x"))).collect()(0).getAs[Array[Byte]](0)
+    val one = TDigest.deserialize(bytes1)
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(math.abs(dist.quantile(q) - one.quantile(q)) < 0.02)
+  }
+
+  test("KS: same distribution → small statistic, large p") {
+    val a = TDigest.fromValues(lcg(10000, 1))
+    val b = TDigest.fromValues(lcg(10000, 2))
+    val d = Drift.ksStatistic(a, b)
+    assert(d < 0.05, s"d=$d")
+    assert(Drift.ksPValue(d, 10000, 10000) > 0.001)
+  }
+
+  test("KS: shifted distribution detected") {
+    val a = TDigest.fromValues(lcg(10000, 1))
+    val b = TDigest.fromValues(lcg(10000, 2).map(_ + 0.3))
+    val d = Drift.ksStatistic(a, b)
+    assert(d > 0.25, s"d=$d")
+    assert(Drift.ksPValue(d, 10000, 10000) < 1e-6)
+  }
+
+  test("end-to-end ksTest over DataFrame groups") {
+    val spark0 = spark
+    import spark0.implicits._
+    val a = lcg(5000, 1).map(("a", _))
+    val b = lcg(5000, 2).map(x => ("b", x + 0.5))
+    val df = (a ++ b).toDF("g", "x").repartition(8)
+    val r = Drift.ksTest(df, "x", "g", "a", "b")
+    assert(r.statistic > 0.4)
+    assert(r.pValue < 1e-9)
+    assert(r.n1 === 5000.0 && r.n2 === 5000.0)
+  }
+
+  test("chi-square: skewed categorical distribution detected; uniform not") {
+    // same proportions → small stat
+    val same = Seq(("a", "x", 500L), ("a", "y", 500L), ("b", "x", 250L), ("b", "y", 250L))
+    val r1 = Drift.chiSquareFromCounts(same)
+    assert(r1.statistic < 1e-9 && r1.pValue > 0.99)
+    // strongly different proportions → big stat
+    val diff = Seq(("a", "x", 900L), ("a", "y", 100L), ("b", "x", 100L), ("b", "y", 900L))
+    val r2 = Drift.chiSquareFromCounts(diff)
+    assert(r2.statistic > 100 && r2.pValue < 1e-9)
+    assert(r2.dof === 1)
+  }
+
+  test("chi-square over DataFrame matches hand computation") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq.fill(90)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(50)(("b", "x")) ++ Seq.fill(50)(("b", "y"))
+    val r = Drift.chiSquareTest(rows.toDF("g", "c"), "c", "g")
+    // expected: chi2 = sum (o-e)^2/e with margins 140/60, 100/100
+    val e = Seq(("a", "x", 70.0, 90.0), ("a", "y", 30.0, 10.0), ("b", "x", 70.0, 50.0), ("b", "y", 30.0, 50.0))
+    val expected = e.map { case (_, _, ee, oo) => (oo - ee) * (oo - ee) / ee }.sum
+    assert(math.abs(r.statistic - expected) < 1e-9)
+  }
+}

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.checkpoint.CheckpointManager
+import graft.compile.SpecCompiler
+import graft.exec.ValidationRunner
+import graft.io.{Convert, Docs}
+import graft.ops.Multimodal
+
+class PipelineSpec extends SparkTestBase {
+
+  test("checkpoint: kill between buckets resumes without recomputation or dups") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mgr = new CheckpointManager(root)
+    val plan = SpecCompiler.compile(Docs.docSpec)
+    val docs = Docs.generate(spark, 600, numPartitions = 4, corruptEvery = 50)
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(4)).cast("int"))
+
+    def process(df: org.apache.spark.sql.DataFrame) = {
+      val v = ValidationRunner.validate(df, plan)
+      (ValidationRunner.violationRows(v.withColumn("bucket", col("bucket")), "doc_id")
+        .join(v.select("doc_id", "bucket"), "doc_id"),
+        ValidationRunner.summary(v, Seq("bucket")))
+    }
+
+    // first run "crashes" after 2 of 4 buckets
+    var processed = 0
+    try {
+      mgr.runResumable(docs, "bucket", Seq(0, 1, 2, 3), df => {
+        processed += 1
+        if (processed > 2) throw new RuntimeException("simulated crash")
+        process(df)
+      })
+    } catch { case e: RuntimeException => assert(e.getMessage === "simulated crash") }
+    assert(mgr.committedBuckets(spark) === Set(0, 1))
+
+    // resume: only remaining buckets are processed
+    var resumed = 0
+    mgr.runResumable(docs, "bucket", Seq(0, 1, 2, 3), df => { resumed += 1; process(df) })
+    assert(resumed === 2, s"resume processed $resumed batches, expected 2")
+    assert(mgr.committedBuckets(spark) === Set(0, 1, 2, 3))
+
+    // totals equal a non-checkpointed run (no loss, no double count)
+    val direct = ValidationRunner.summary(
+      ValidationRunner.validate(docs, plan), Seq("bucket"))
+      .agg(sum("n_docs"), sum("n_invalid")).collect()(0)
+    val ckpt = mgr.summary(spark).agg(sum("n_docs"), sum("n_invalid")).collect()(0)
+    assert(direct.getLong(0) === ckpt.getLong(0))
+    assert(direct.getLong(1) === ckpt.getLong(1))
+
+    // idempotence: a third run does nothing
+    var third = 0
+    mgr.runResumable(docs, "bucket", Seq(0, 1, 2, 3), df => { third += 1; process(df) })
+    assert(third === 0)
+  }
+
+  test("JSON ingest: parse + validate + strict unknown-key semantics (B2/B3/I10)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(
+      """{"doc_id":"doc-1","spans":[{"kind":"text","text":"hi","offset":0}]}""",
+      """{"doc_id":"doc-2","spans":[{"kind":"video","text":"x","offset":0}]}""",
+      """{"doc_id":"doc-3","spans":[],"extra_key":1}""",
+      """not json at all""",
+      """{"doc_id":null,"spans":[]}""")
+    val df = rows.toDF("json")
+
+    // non-strict: unknown key tolerated (warning-level in the reference)
+    val lax = Convert.fromJson(df, "json", Docs.docSpec)
+    val laxMap = lax.select(col("_raw"), col("violations.rule")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(laxMap(rows(0)) === Set.empty)
+    assert(laxMap(rows(1)) === Set("unknown-enum:spans.kind"))
+    assert(laxMap(rows(2)) === Set.empty)
+    assert(laxMap(rows(3)) === Set("parse:json", "missing-field:doc_id"))
+    assert(laxMap(rows(4)) === Set("missing-field:doc_id"))
+
+    // strict: unknown key is an error (piqobj_of_json.ml:31-37 + strict flag)
+    val strictSpec = Docs.docSpec.copy(strict = true)
+    val strict = Convert.fromJson(df, "json", strictSpec)
+    val strictMap = strict.select(col("_raw"), col("violations.rule")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(strictMap(rows(2)) === Set("unknown-field"))
+  }
+
+  test("toJson: omit-missing and add-defaults semantics (B4/B20/D1)") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.spec._
+    val spec = Spec("m", Seq(RecordDef("r", Seq(
+      PField("a", PString, Required),
+      PField("b", PString, Optional(Some("dflt"))),
+      PField("tag", PBool, Flag)))), "r")
+    val plan = SpecCompiler.compile(spec)
+    val df = Seq(("x", null: String, null: java.lang.Boolean)).toDF("a", "b", "tag")
+
+    // omit-missing (reference default): nulls dropped
+    val omitted = Convert.toJson(df, plan).collect()(0).getString(0)
+    assert(omitted === """{"a":"x"}""")
+    // add-defaults: optional default + flag-false materialized (convert.ml:316-324)
+    val defaulted = Convert.toJson(df, plan, addDefaults = true).collect()(0).getString(0)
+    assert(defaulted === """{"a":"x","b":"dflt","tag":false}""")
+    // keep nulls mode
+    val kept = Convert.toJson(df, plan, omitMissing = false).collect()(0).getString(0)
+    assert(kept === """{"a":"x","b":null,"tag":null}""")
+  }
+
+  test("multimodal: feature extraction plumbing — batching, nulls, determinism") {
+    val media = Multimodal.synthesizeMedia(spark, 200, numPartitions = 4)
+    val feats = Multimodal.extractFeatures(media, dim = 16, batchSize = 32)
+    val rows = feats.collect()
+    assert(rows.length === 200)
+    val failed = rows.filterNot(_.ok)
+    assert(failed.length === 4) // ids 0,50,100,150 have null payloads
+    assert(rows.filter(_.ok).forall(_.features.length === 16))
+    // determinism: second run identical checksums
+    val again = Multimodal.extractFeatures(media, dim = 16, batchSize = 7).collect()
+    assert(rows.map(r => r.media_ref -> r.checksum).toMap ===
+      again.map(r => r.media_ref -> r.checksum).toMap)
+  }
+
+  test("multimodal: frame sampling and resize plans") {
+    val media = Multimodal.synthesizeMedia(spark, 30, numPartitions = 2)
+    val frames = Multimodal.sampleFrames(media, everyMs = 5000)
+    val perRef = frames.groupBy("media_ref").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perRef.nonEmpty)
+    // each video contributes ceil(duration/5000) frames
+    val durs = media.where(col("mime") === "video/mp4")
+      .select("media_ref", "duration_ms").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    durs.foreach { case (ref, d) =>
+      assert(perRef(ref) === (d + 4999) / 5000, s"ref=$ref dur=$d")
+    }
+    val resized = Multimodal.resizePlan(media, maxSide = 256).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(math.max(r.getInt(3), r.getInt(4)) <= 256)
+    }
+  }
+
+  test("streaming: windowed validation summary over file stream") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    val schema = StructType(Docs.docSchema.fields :+ StructField("ts", TimestampType))
+    // write two batches of docs with event times
+    val d1 = Docs.generate(spark, 100, 2, corruptEvery = 25)
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:10")))
+    d1.write.mode("append").parquet(dir)
+    val plan = SpecCompiler.compile(Docs.docSpec)
+    val stream = graft.streaming.ValidateStream.fromParquetDir(spark, dir, schema)
+    val validated = graft.streaming.ValidateStream.validate(stream, plan)
+    val summary = graft.streaming.ValidateStream.windowedSummary(validated, "ts")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    def runOnce(): Unit = {
+      val q = summary.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    // append-mode windowed agg emits only watermark-closed windows; a second
+    // batch past the watermark closes the first window
+    val d2 = Docs.generate(spark, 10, 1)
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:10:00")))
+    d2.write.mode("append").parquet(dir)
+    runOnce()
+    val out = spark.read.parquet(outDir).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_docs") === 100)
+    assert(out(0).getAs[Long]("n_invalid") === 4)
+  }
+
+  test("streaming: violation rows written exactly-once via checkpointed file sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstream-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-vstream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vstream-ck").toString
+    Docs.generate(spark, 200, 2, corruptEvery = 50).write.mode("append").parquet(dir)
+    val plan = SpecCompiler.compile(Docs.docSpec)
+    val stream = graft.streaming.ValidateStream.fromParquetDir(spark, dir, Docs.docSchema)
+    val validated = graft.streaming.ValidateStream.validate(stream, plan)
+    val q = graft.streaming.ValidateStream
+      .writeViolations(validated, "doc_id", outDir, ckpt).start()
+    q.awaitTermination(60000)
+    val written = spark.read.parquet(outDir)
+    assert(written.count() === 4)
+    // re-run with same checkpoint: no duplicates
+    val q2 = graft.streaming.ValidateStream
+      .writeViolations(validated, "doc_id", outDir, ckpt).start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() === 4)
+  }
+}
