@@ -43,7 +43,7 @@ object Bench {
       val docs = graft.io.Docs.generate(spark, nDocs, numPartitions = cpus.toInt * 4,
         corruptEvery = 1000)
       graft.exec.ValidationRunner
-        .summary(graft.exec.ValidationRunner.validate(docs, plan), Seq.empty)
+        .summary(graft.exec.ValidationRunner.validateCounts(docs, plan), Seq.empty)
         .collect()
     }
     validateAll() // warm-up

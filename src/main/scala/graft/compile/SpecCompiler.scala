@@ -12,15 +12,24 @@ import graft.spec._
  * parse/validate pipeline: where piqi compiles `.piqi` → resolved typedefs →
  * per-format codecs that validate while parsing
  * (`piqilib/piqi.ml:1598-1819`, `piqilib/piqobj_of_json.ml`), we compile a
- * spec → one wide, codegen-friendly projection producing a per-row
- * `violations: array<struct<rule,path,detail>>` column. Every rule is a
- * built-in Spark function composition (when/filter/transform/zip_with) —
- * zero row-level UDFs, so the whole check runs inside whole-stage codegen.
+ * spec → one wide projection per table. Every rule is a built-in function
+ * composition — zero row-level UDFs.
  *
  * Instead of the reference's fail-fast located exception
  * (`piqobj_of_json.ml:192-197` raises on the first missing field), we
  * collect ALL violations per row — the distributed-validation semantics the
  * north rule requires (exact violation rows + per-partition pass/fail).
+ *
+ * TWO compiled forms of the same rule walk (chosen per job, both from one
+ * spec — the hot-path design found during plan review):
+ *  - [[ValidationPlan.violationCount]] — pure boolean/int arithmetic
+ *    (CASE WHEN + sums), fully codegen-capable except the unavoidable
+ *    higher-order `transform`/`aggregate` over repeated fields. This is
+ *    what pass/fail summaries aggregate at 10^12-row scale.
+ *  - [[ValidationPlan.violations]] — the detail array
+ *    `array<struct<rule,path,detail>>` with element indices stamped into
+ *    paths, for exact violation rows. Costs string/struct construction, so
+ *    jobs build it only where detail is emitted.
  */
 object SpecCompiler {
 
@@ -29,12 +38,12 @@ object SpecCompiler {
     StructField("path", StringType),
     StructField("detail", StringType))), containsNull = false)
 
-  /** One conditional violation: single-element array kept iff `cond`. */
+  /** One conditional violation as a detail array (CASE WHEN — codegen-capable). */
   def vio(cond: Column, rule: String, path: String, detail: Column): Column =
-    filter(
+    when(cond,
       array(struct(lit(rule).as("rule"), lit(path).as("path"),
-        coalesce(detail.cast(StringType), lit("null")).as("detail"))),
-      _ => cond)
+        coalesce(detail.cast(StringType), lit("null")).as("detail"))))
+      .otherwise(emptyVio)
 
   def emptyVio: Column = array().cast(violationType)
 
@@ -49,12 +58,54 @@ object SpecCompiler {
 }
 
 /**
+ * How a rule walk materializes its findings: `R` is a per-context result
+ * (detail array or int count).
+ */
+private[compile] sealed trait Emitter[R] {
+  def emit(cond: Column, rule: String, path: String, detail: => Column): R
+  def empty: R
+  def combine(rs: Seq[R]): R
+  /** Combine per-element results of a repeated field into the row result. */
+  def fromArray(arr: Column, path: String, perElem: (Column, Column) => R): R
+}
+
+/** Detail arrays with element-index-stamped paths. */
+private[compile] object DetailEmitter extends Emitter[Column] {
+  import SpecCompiler._
+  def emit(cond: Column, rule: String, path: String, detail: => Column): Column =
+    vio(cond, rule, path, detail)
+  def empty: Column = emptyVio
+  def combine(rs: Seq[Column]): Column = concatVios(rs)
+  def fromArray(arr: Column, path: String, perElem: (Column, Column) => Column): Column = {
+    // "spans.kind" at element 1 → "spans[1].kind"
+    val stamped = transform(arr, (x, i) =>
+      transform(perElem(x, i), v =>
+        struct(v.getField("rule").as("rule"),
+          concat(lit(path), lit("["), i.cast(StringType), lit("]"),
+            substring(v.getField("path"), path.length + 1, 1000000)).as("path"),
+          v.getField("detail").as("detail"))))
+    when(arr.isNull, emptyVio).otherwise(flatten(stamped))
+  }
+}
+
+/** Pure count — the codegen-friendly hot path (no strings, no structs). */
+private[compile] object CountEmitter extends Emitter[Column] {
+  def emit(cond: Column, rule: String, path: String, detail: => Column): Column =
+    when(cond, lit(1)).otherwise(lit(0))
+  def empty: Column = lit(0)
+  def combine(rs: Seq[Column]): Column =
+    if (rs.isEmpty) lit(0) else rs.reduce(_ + _)
+  def fromArray(arr: Column, path: String, perElem: (Column, Column) => Column): Column =
+    when(arr.isNull, lit(0))
+      .otherwise(aggregate(transform(arr, (x, i) => perElem(x, i)), lit(0), (a, v) => a + v))
+}
+
+/**
  * Compiled validation plan. Immutable; closes over nothing but the spec, so
  * Catalyst serializes only expression trees to executors (the analog of
  * piqi broadcasting its resolved typedef table into the convert loop).
  */
 final class ValidationPlan(val spec: Spec) extends Serializable {
-  import SpecCompiler._
 
   /** Follow alias chains like `Piqobj.unalias` (`piqobj.ml:157-160`), accumulating constraints. */
   private def unalias(t: PiqiType, acc: Seq[Constraint] = Nil): (PiqiType, Seq[Constraint]) =
@@ -72,53 +123,51 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
   }
 
   /** Violations from value-level constraints; checks apply only when value non-null. */
-  private def constraintVios(c: Column, path: String, cs: Seq[Constraint]): Seq[Column] =
+  private def constraintVios[R](e: Emitter[R], c: Column, path: String, cs: Seq[Constraint]): Seq[R] =
     cs.map {
       case MatchesRegex(r) =>
-        vio(c.isNotNull && !c.cast(StringType).rlike(r), s"format:$path", path, c)
+        e.emit(c.isNotNull && !c.cast(StringType).rlike(r), s"format:$path", path, c)
       case Base64 =>
-        vio(c.isNotNull && !c.cast(StringType).rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"),
+        e.emit(c.isNotNull && !c.cast(StringType).rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"),
           s"base64:$path", path, c)
       case ValidUtf8 =>
-        // Spark 4 native UTF-8 validity check; codegen'd. Matters for
-        // binary-ingested text (`piqilib/piqi_utf8.ml:33-120` analog).
-        vio(c.isNotNull && !is_valid_utf8(c), s"utf8:$path", path, lit("invalid utf-8"))
+        // Spark 4 native UTF-8 validity check (binary-ingested text;
+        // `piqilib/piqi_utf8.ml:33-120` analog)
+        e.emit(c.isNotNull && !is_valid_utf8(c), s"utf8:$path", path, lit("invalid utf-8"))
       case InRange(lo, hi) =>
-        vio(c.isNotNull && (c.cast(DoubleType) < lo || c.cast(DoubleType) > hi),
+        e.emit(c.isNotNull && (c.cast(DoubleType) < lo || c.cast(DoubleType) > hi),
           s"range:$path", path, c)
       case OneOf(vals) =>
-        vio(c.isNotNull && !c.isin(vals: _*), s"unknown-value:$path", path, c)
+        e.emit(c.isNotNull && !c.isin(vals: _*), s"unknown-value:$path", path, c)
     }
 
   /**
-   * Violations for a single value of type `t` at column `c` (non-null
-   * handling is the caller's job for required/optional semantics; all
-   * value checks here self-guard on non-null).
+   * Violations for a single value of type `t` at column `c` (all value
+   * checks self-guard on non-null; required/optional is the caller's job).
    */
-  private def valueVios(t: PiqiType, c: Column, path: String): Seq[Column] = {
+  private def valueVios[R](e: Emitter[R], t: PiqiType, c: Column, path: String): Seq[R] = {
     val (base, aliasCs) = unalias(t)
-    val aliasVios = constraintVios(c, path, aliasCs)
-    val ownVios: Seq[Column] = base match {
+    val aliasVios = constraintVios(e, c, path, aliasCs)
+    val ownVios: Seq[R] = base match {
       case PBool | PFloat | PString | PBinary | PAny => Nil
       case PInt(lo, hi) =>
         // range checks the reference documents but does not enforce
-        // (doc/tools.md:490-493); we enforce (SURVEY.md B9).
-        val needsCheck = lo != Long.MinValue || hi != Long.MaxValue
-        if (needsCheck)
-          Seq(vio(c.isNotNull && (c.cast(LongType) < lo || c.cast(LongType) > hi),
+        // (doc/tools.md:490-493); we enforce (SURVEY.md B9)
+        if (lo != Long.MinValue || hi != Long.MaxValue)
+          Seq(e.emit(c.isNotNull && (c.cast(LongType) < lo || c.cast(LongType) > hi),
             s"range:$path", path, c))
         else Nil
       case TypeRef(_) =>
         resolveDef(base) match {
           case Some(EnumDef(_, options)) =>
             // unknown enum option → error (`piqobj_of_json.ml:270-284`)
-            Seq(vio(c.isNotNull && !c.isin(options: _*), s"unknown-enum:$path", path, c))
+            Seq(e.emit(c.isNotNull && !c.isin(options: _*), s"unknown-enum:$path", path, c))
           case Some(RecordDef(_, fields)) =>
-            recordVios(fields, c, path, guard = c.isNotNull)
+            recordVios(e, fields, c, path, guard = c.isNotNull)
           case Some(VariantDef(_, options)) =>
-            variantVios(options, c, path)
+            variantVios(e, options, c, path)
           case Some(ListDef(_, elem, elemCs)) =>
-            listVios(elem, elemCs, c, path)
+            Seq(listVios(e, elem, elemCs, c, path))
           case _ => Nil
         }
       case _ => Nil
@@ -127,67 +176,63 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
   }
 
   /** Record fields: required/optional/repeated semantics (SURVEY.md B1-B8). */
-  private def recordVios(fields: Seq[PField], rec: Column, path: String, guard: Column): Seq[Column] = {
+  private def recordVios[R](e: Emitter[R], fields: Seq[PField], rec: Column, path: String,
+      guard: Column): Seq[R] = {
     fields.flatMap { f =>
       val c = rec.getField(f.name)
       val p = if (path.isEmpty) f.name else s"$path.${f.name}"
-      val modeVios: Seq[Column] = f.mode match {
-        case Required =>
-          // exactly one instance must be present (`piqobj_of_json.ml:192-197`)
-          Seq(vio(guard && c.isNull, s"missing-field:$p", p, lit("required field is missing")))
-        case Optional(_) => Nil // JSON null ≡ missing (`piqobj_of_json.ml:214`): not a violation
-        case Repeated => Nil   // absent repeated ≡ empty (`piqobj_of_json.ml:221-229`)
-        case Flag => Nil       // desugared in Spec.resolved
-      }
-      val bodyVios = f.mode match {
-        case Repeated =>
-          // element-wise recursion; array col itself may be null (≡ empty)
-          listVios(f.tpe, f.constraints, c, p)
-        case _ => valueVios(f.tpe, c, p) ++ constraintVios(c, p, f.constraints)
-      }
-      modeVios ++ bodyVios
+      fieldVios(e, f, c, p, guard)
     }
   }
 
+  private def fieldVios[R](e: Emitter[R], f: PField, c: Column, p: String, guard: Column): Seq[R] = {
+    val modeVios: Seq[R] = f.mode match {
+      case Required =>
+        // exactly one instance must be present (`piqobj_of_json.ml:192-197`)
+        Seq(e.emit(guard && c.isNull, s"missing-field:$p", p, lit("required field is missing")))
+      case Optional(_) => Nil // JSON null ≡ missing (`piqobj_of_json.ml:214`)
+      case Repeated => Nil    // absent repeated ≡ empty (`piqobj_of_json.ml:221-229`)
+      case Flag => Nil        // desugared in Spec.resolved
+    }
+    val bodyVios: Seq[R] = f.mode match {
+      case Repeated => Seq(listVios(e, f.tpe, f.constraints, c, p))
+      case _ => valueVios(e, f.tpe, c, p) ++ constraintVios(e, c, p, f.constraints)
+    }
+    modeVios ++ bodyVios
+  }
+
   /** Exactly one non-null option per variant value (`piqobj_of_json.ml:248-253`). */
-  private def variantVios(options: Seq[POption], c: Column, path: String): Seq[Column] = {
+  private def variantVios[R](e: Emitter[R], options: Seq[POption], c: Column, path: String): Seq[R] = {
     val nonNullCnt = options.map(o => c.getField(o.name).isNotNull.cast(IntegerType))
       .reduce(_ + _)
-    val exactly = vio(c.isNotNull && nonNullCnt =!= 1, s"exactly-one:$path", path,
+    val exactly = e.emit(c.isNotNull && nonNullCnt =!= 1, s"exactly-one:$path", path,
       concat_ws("|", options.map(o => when(c.getField(o.name).isNotNull, lit(o.name))): _*))
     val optionChecks = options.flatMap { o =>
-      o.tpe.toSeq.flatMap(t => valueVios(t, c.getField(o.name), s"$path.${o.name}"))
+      o.tpe.toSeq.flatMap(t => valueVios(e, t, c.getField(o.name), s"$path.${o.name}"))
     }
     exactly +: optionChecks
   }
 
-  /** Element-wise list validation via `transform` + `flatten` — stays in codegen. */
-  private def listVios(elem: PiqiType, elemCs: Seq[Constraint], arr: Column, path: String): Seq[Column] = {
-    val perElem = transform(arr, (x, i) => {
-      val evios = valueVios(elem, x, path) ++ constraintVios(x, path, elemCs)
-      // stamp the element index into the detail for exact violation rows
-      transform(concatVios(evios), v =>
-        struct(v.getField("rule").as("rule"),
-          concat(lit(path), lit("["), i.cast(StringType), lit("]")).as("path"),
-          v.getField("detail").as("detail")))
-    })
-    Seq(when(arr.isNull, emptyVio).otherwise(flatten(perElem)))
-  }
+  /** Element-wise list validation (higher-order transform — unavoidable for arrays). */
+  private def listVios[R](e: Emitter[R], elem: PiqiType, elemCs: Seq[Constraint],
+      arr: Column, path: String): R =
+    e.fromArray(arr, path, (x, _) =>
+      e.combine(valueVios(e, elem, x, path) ++ constraintVios(e, x, path, elemCs)))
 
   /** Cross-field / ordering rules (north-rule additions, SURVEY.md §2.D). */
-  private def rowRuleVios(r: RowRule): Seq[Column] = r match {
-    case ExactlyOneOf(name, paths) => oneOfVios(name, paths, exact = true)
-    case AtMostOneOf(name, paths) => oneOfVios(name, paths, exact = false)
+  private def rowRuleVios[R](e: Emitter[R], r: RowRule): Seq[R] = r match {
+    case ExactlyOneOf(name, paths) => oneOfVios(e, name, paths, exact = true)
+    case AtMostOneOf(name, paths) => oneOfVios(e, name, paths, exact = false)
     case StrictlyIncreasing(name, arrayPath, field) =>
       val arr = col(arrayPath)
-      // pair each element with its successor; any non-increase is a violation
+      // pair each element with its successor; any non-increase violates
       val bad = zip_with(arr, slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
         (cur, nxt) => nxt.isNotNull && nxt.getField(field) <= cur.getField(field))
-      Seq(vio(arr.isNotNull && exists(bad, b => b), s"order:$name", arrayPath,
+      Seq(e.emit(arr.isNotNull && exists(bad, b => b), s"order:$name", arrayPath,
         lit(s"$field must be strictly increasing")))
   }
 
-  private def oneOfVios(name: String, paths: Seq[String], exact: Boolean): Seq[Column] = {
+  private def oneOfVios[R](e: Emitter[R], name: String, paths: Seq[String], exact: Boolean): Seq[R] = {
     // supported shapes: all top-level paths, or all inside one repeated field
     val arrayPrefixes = paths.map(_.split("\\.", 2)).collect {
       case Array(head, rest) if isRepeatedRoot(head) => (head, rest)
@@ -195,22 +240,17 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
     if (arrayPrefixes.size == paths.size && arrayPrefixes.map(_._1).distinct.size == 1) {
       val arrName = arrayPrefixes.head._1
       val subFields = arrayPrefixes.map(_._2)
-      val arr = col(arrName)
-      val perElem = transform(arr, (x, i) => {
+      Seq(e.fromArray(col(arrName), arrName, (x, _) => {
         val cnt = subFields.map(f => x.getField(f).isNotNull.cast(IntegerType)).reduce(_ + _)
         val bad = if (exact) cnt =!= 1 else cnt > 1
-        filter(array(struct(
-          lit(s"exactly-one:$name").as("rule"),
-          concat(lit(arrName), lit("["), i.cast(StringType), lit("]")).as("path"),
-          concat_ws(",", subFields.map(f => when(x.getField(f).isNotNull, lit(f))): _*).as("detail"))),
-          _ => bad)
-      })
-      Seq(when(arr.isNull, emptyVio).otherwise(flatten(perElem)))
+        e.emit(bad, s"exactly-one:$name", arrName,
+          concat_ws(",", subFields.map(f => when(x.getField(f).isNotNull, lit(f))): _*))
+      }))
     } else {
       val cols = paths.map(p => col(p))
       val cnt = cols.map(_.isNotNull.cast(IntegerType)).reduce(_ + _)
       val bad = if (exact) cnt =!= 1 else cnt > 1
-      Seq(vio(bad, s"exactly-one:$name", paths.mkString("|"),
+      Seq(e.emit(bad, s"exactly-one:$name", paths.mkString("|"),
         concat_ws(",", paths.zip(cols).map { case (p, c) => when(c.isNotNull, lit(p)) }: _*)))
     }
   }
@@ -223,26 +263,20 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
     case other => throw new SpecException(s"root '${spec.root}' must be a record, got $other")
   }
 
-  /** The per-row violations column: `array<struct<rule,path,detail>>`. */
-  lazy val violations: Column = {
-    val fieldVios = rootRecord.fields.flatMap { f =>
-      val c = col(f.name)
-      val modeVios: Seq[Column] = f.mode match {
-        case Required =>
-          Seq(vio(c.isNull, s"missing-field:${f.name}", f.name, lit("required field is missing")))
-        case _ => Nil
-      }
-      val bodyVios = f.mode match {
-        case Repeated => listVios(f.tpe, f.constraints, c, f.name)
-        case _ => valueVios(f.tpe, c, f.name) ++ constraintVios(c, f.name, f.constraints)
-      }
-      modeVios ++ bodyVios
-    }
-    val ruleVios = spec.rowRules.flatMap(rowRuleVios)
-    concatVios(fieldVios ++ ruleVios).as("violations")
+  private def rootWalk[R](e: Emitter[R]): R = {
+    val fieldRs = rootRecord.fields.flatMap(f => fieldVios(e, f, col(f.name), f.name, lit(true)))
+    val ruleRs = spec.rowRules.flatMap(r => rowRuleVios(e, r))
+    e.combine(fieldRs ++ ruleRs)
   }
 
-  lazy val valid: Column = (size(violations) === 0).as("valid")
+  /** Exact violation details: `array<struct<rule,path,detail>>` (report path). */
+  lazy val violations: Column = rootWalk(DetailEmitter).as("violations")
+
+  /** Violation count as pure int arithmetic (hot aggregate path). */
+  lazy val violationCount: Column = rootWalk(CountEmitter).cast(LongType).as("violation_count")
+
+  /** Pass/fail from the count form — no detail-array construction. */
+  lazy val valid: Column = (violationCount === 0).as("valid")
 
   /**
    * Defaults materialization — an output-stage projection, exactly like the

@@ -23,9 +23,19 @@ import graft.compile.ValidationPlan
  */
 object ValidationRunner {
 
-  /** Per-row validation: input columns + `violations` + `valid`. Narrow, no shuffle. */
+  /** Per-row validation with details: input columns + `violations` + `valid`.
+    * Narrow, no shuffle. Use when violation detail rows will be emitted. */
   def validate(df: DataFrame, plan: ValidationPlan): DataFrame =
-    df.withColumn("violations", plan.violations).withColumn("valid", plan.valid)
+    df.withColumn("violations", plan.violations)
+      .withColumn("valid", size(col("violations")) === 0)
+
+  /** Count-only validation — the hot aggregate path: pure boolean/int
+    * arithmetic, no detail-struct construction (plan-review finding: the
+    * detail form spends most of its time building strings nobody reads
+    * when the job only wants pass/fail counts). */
+  def validateCounts(df: DataFrame, plan: ValidationPlan): DataFrame =
+    df.withColumn("violation_count", plan.violationCount)
+      .withColumn("valid", col("violation_count") === 0)
 
   /**
    * Exact violation rows: one output row per (doc, rule) violation — the
@@ -36,7 +46,8 @@ object ValidationRunner {
    */
   def violationRows(validated: DataFrame, docKey: String): DataFrame =
     validated
-      .where(size(col("violations")) > 0)
+      // explode (non-outer) emits nothing for empty arrays — no extra filter,
+      // so the violations expression is evaluated exactly once per row
       .select(col(docKey), explode(col("violations")).as("v"))
       .select(col(docKey), col("v.rule").as("rule"), col("v.path").as("path"),
         col("v.detail").as("detail"))
@@ -48,13 +59,16 @@ object ValidationRunner {
    */
   def summary(validated: DataFrame, partitionCols: Seq[String]): DataFrame = {
     val keys = partitionCols.map(col)
+    val vioCount =
+      if (validated.columns.contains("violation_count")) col("violation_count")
+      else size(col("violations")).cast(LongType)
     validated
       .groupBy(keys: _*)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("valid").cast(LongType)).as("n_valid"),
         sum((!col("valid")).cast(LongType)).as("n_invalid"),
-        sum(size(col("violations")).cast(LongType)).as("n_violations"))
+        sum(vioCount).as("n_violations"))
   }
 
   /** Per-rule violation counts (for drift-style monitoring of rule hit-rates). */

@@ -74,7 +74,7 @@ object ScaleBench {
   private def job(spark: SparkSession, nDocs: Long, partitions: Int): Long = {
     val plan = graft.SparkEntry.docsPlan
     val docs = Docs.generate(spark, nDocs, numPartitions = partitions, corruptEvery = 1000)
-    val v = ValidationRunner.validate(docs, plan)
+    val v = ValidationRunner.validateCounts(docs, plan)
     ValidationRunner.summary(v, Seq.empty).collect()(0).getAs[Long]("n_docs")
   }
 

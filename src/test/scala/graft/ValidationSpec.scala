@@ -84,7 +84,7 @@ class ValidationSpec extends SparkTestBase {
     val rows = ValidationRunner.violationRows(validated, "doc_id").collect()
     assert(rows.length === 1)
     assert(rows(0).getString(1) === "unknown-enum:spans.kind")
-    assert(rows(0).getString(2) === "spans[1]")
+    assert(rows(0).getString(2) === "spans[1].kind")
   }
 
   test("I7: duplicate doc_id reported by uniqueness check (both rows)") {
