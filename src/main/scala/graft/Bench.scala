@@ -26,12 +26,14 @@ object Bench {
     }
 
     // warm-up: one full pass (discard)
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val s = try timeIt(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      System.err.println(f"[bench] warmup $name: $s%.2f s")
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try timeIt(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      System.err.println(f"[bench] timed  $name: $sec%.2f s")
       name -> sec
     }
 

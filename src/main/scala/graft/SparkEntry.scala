@@ -298,6 +298,21 @@ object SparkEntry {
       Seq((r.statistic, r.dof, r.pValue)).toDF("statistic", "dof", "p_value")
     }),
 
+    // per-group × per-column stats, fully distributed unpivot (SQL-verifiable)
+    "v_stats_by_source" -> ((s, dir) => {
+      ValidationRunner.columnStatsByGroup(t(s, dir, "documents"), "source",
+        Seq("doc_id", "lang", "n_chars"), exactDistinct = true)
+        .orderBy("source", "column")
+    }),
+
+    // piqi-convert analog: docs → JSON emit → JSON ingest → validate → summary
+    "c_convert_roundtrip" -> ((s, dir) => {
+      val docs = graft.io.Docs.generate(s, 20000, numPartitions = 16, corruptEvery = 500)
+      val json = graft.io.Convert.toJson(docs, docsPlan) // omit-missing (B20)
+      val back = graft.io.Convert.fromJson(json, "json", graft.io.Docs.docSpec)
+      ValidationRunner.summary(back, Seq.empty)
+    }),
+
     // canonical interleaved-doc domain end-to-end (generator → validate → summary)
     "v_docs_validate" -> ((s, dir) => {
       val docs = graft.io.Docs.generate(s, 50000, numPartitions = 32, corruptEvery = 100)
@@ -433,6 +448,26 @@ object SparkEntry {
     "t_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "v_stats_by_source" ->
+      """SELECT source, col AS "column", cnt, nulls, min_s, max_s, n_distinct FROM (
+        | SELECT source, 'doc_id' AS col, CAST(count(*) AS BIGINT) AS cnt,
+        |   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |   min(CAST(doc_id AS VARCHAR)) AS min_s, max(CAST(doc_id AS VARCHAR)) AS max_s,
+        |   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+        |  FROM documents GROUP BY source
+        | UNION ALL
+        | SELECT source, 'lang', CAST(count(*) AS BIGINT),
+        |   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |   min(lang), max(lang), CAST(count(DISTINCT lang) AS BIGINT)
+        |  FROM documents GROUP BY source
+        | UNION ALL
+        | SELECT source, 'n_chars', CAST(count(*) AS BIGINT),
+        |   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |   min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR)),
+        |   CAST(count(DISTINCT n_chars) AS BIGINT)
+        |  FROM documents GROUP BY source
+        |) ORDER BY source, col""".stripMargin.replace("\n", " "),
 
     "t_quality" ->
       """SELECT doc_id,

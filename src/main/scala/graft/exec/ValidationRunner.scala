@@ -111,6 +111,38 @@ object ValidationRunner {
   }
 
   /**
+   * Per-group × per-column stats in ONE distributed aggregate (the
+   * "per-partition metrics" of SURVEY.md §2.D): one output row per
+   * (group, column) in long format. Unlike [[columnStats]] this never
+   * collects wide rows to the driver — it unpivots with a generator, so it
+   * scales to arbitrary group counts (data partitions at 10^12 scale).
+   */
+  def columnStatsByGroup(df: DataFrame, groupCol: String, cols: Seq[String],
+      exactDistinct: Boolean = false): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__cnt"),
+        sum(col(c).isNull.cast(LongType)).as(s"${c}__nulls"),
+        min(col(c).cast(StringType)).as(s"${c}__min"),
+        max(col(c).cast(StringType)).as(s"${c}__max"),
+        (if (exactDistinct) count_distinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"${c}__distinct"))
+    }
+    val wide = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    // unpivot: one struct per column, exploded distributedly
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__cnt").as("cnt"), col(s"${c}__nulls").as("nulls"),
+        col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s"),
+        col(s"${c}__distinct").as("n_distinct"))
+    }
+    wide.select(col(groupCol), explode(array(entries: _*)).as("s"))
+      .select(col(groupCol), col("s.column").as("column"), col("s.cnt").as("cnt"),
+        col("s.nulls").as("nulls"), col("s.min_s").as("min_s"),
+        col("s.max_s").as("max_s"), col("s.n_distinct").as("n_distinct"))
+  }
+
+  /**
    * Duplicate-key report (uniqueness of doc_id, SURVEY.md §2.D row 3):
    * `(key, cnt)` for every key appearing more than once.
    *

