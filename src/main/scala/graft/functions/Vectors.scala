@@ -15,7 +15,13 @@ import org.apache.spark.sql.types._
  */
 object Vectors {
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — codegen'd native expression (see [[VectorExpressions]]). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotNative(a, b)
+
+  /** Higher-order-function formulation, kept as the reference semantics the
+    * native expression is property-tested against (and as the fallback shape
+    * for engines without custom expressions). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 

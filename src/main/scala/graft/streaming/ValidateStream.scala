@@ -41,6 +41,35 @@ object ValidateStream {
         sum(col("valid").cast("long")).as("n_valid"),
         sum((!col("valid")).cast("long")).as("n_invalid"))
 
+  /**
+   * Streaming first-seen dedup: keeps the first document per `doc_id` across
+   * micro-batches via keyed state (`KeyValueGroupedDataset.flatMapGroupsWithState`)
+   * — the streaming form of the doc_id-uniqueness rule: instead of reporting
+   * duplicates after the fact, later arrivals are dropped (or routed) online.
+   * State is one boolean per key, partitioned by doc_id hash across
+   * executors; at 10^12 keys you would bound it with state TTL (timeout
+   * config) — wired here as ProcessingTimeTimeout with no timeout set,
+   * the hook a production deployment tunes.
+   */
+  def dedupFirstSeen(stream: DataFrame, docKey: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val rowEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(stream.schema)
+    implicit val strEnc = Encoders.STRING
+    implicit val boolEnc = Encoders.scalaBoolean
+    stream
+      .groupByKey((r: Row) => r.getAs[String](docKey))
+      .flatMapGroupsWithState[Boolean, Row](
+        OM.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // key already emitted in a prior batch
+          else {
+            state.update(true)
+            rows.take(1) // first occurrence within this batch wins
+          }
+      }
+  }
+
   /** Violation-row stream writer (append mode, exactly-once via checkpointLocation). */
   def writeViolations(validated: DataFrame, docKey: String, outPath: String,
       checkpointPath: String): DataStreamWriter[Row] =

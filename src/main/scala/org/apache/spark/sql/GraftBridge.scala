@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Access bridge for `private[sql]` Expression↔Column conversion in Spark 4
+ * (`org.apache.spark.sql.classic.ExpressionUtils`). This is the standard
+ * extension-library pattern for registering custom Catalyst expressions
+ * without a full SparkSessionExtensions function registry round-trip.
+ */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

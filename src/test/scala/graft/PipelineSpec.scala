@@ -176,6 +176,34 @@ class PipelineSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("n_invalid") === 4)
   }
 
+  test("streaming: stateful first-seen dedup across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dedup-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ck").toString
+    // batch 1: docs 0..99 plus a hot duplicate every 10
+    Docs.generate(spark, 100, 2, hotEvery = 10).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val stream = graft.streaming.ValidateStream.fromParquetDir(spark, dir, Docs.docSchema)
+      val deduped = graft.streaming.ValidateStream.dedupFirstSeen(stream, "doc_id")
+      val q = deduped.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val firstCount = spark.read.parquet(outDir).count()
+    // 100 docs, 10 of them share doc_id "doc-hot" → 91 distinct keys
+    assert(firstCount === 91)
+    // batch 2: same docs again (all duplicates) + 10 new ones
+    Docs.generate(spark, 100, 2, hotEvery = 10).write.mode("append").parquet(dir)
+    Docs.generate(spark, 110, 2).where(col("doc_id") >= "doc-000000000100")
+      .write.mode("append").parquet(dir)
+    runOnce()
+    val all = spark.read.parquet(outDir)
+    assert(all.count() === 101) // +10 new keys only; state dropped all repeats
+    assert(all.groupBy("doc_id").count().where(col("count") > 1).count() === 0)
+  }
+
   test("streaming: violation rows written exactly-once via checkpointed file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vstream-in").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft-vstream-out").toString
