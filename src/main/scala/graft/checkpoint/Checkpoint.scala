@@ -2,31 +2,35 @@ package graft.checkpoint
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.compile.ValidationPlan
+import graft.exec.{Drift, ValidationRunner}
+import graft.functions.TDigest
 
 /**
  * Partition-lineage checkpointing: a killed validation run resumes from the
- * last committed partition without recomputation (north rule; the
- * reference's seed is `.piq` stream appendability — "no headers or
- * footers... append", `doc/piq.md:697-700`).
+ * last committed partition without recomputation (north rule: "validation
+ * state (sketch accumulators, partition lineage, per-partition metrics) is
+ * checkpointed"; the reference's seed is `.piq` stream appendability —
+ * "no headers or footers... append", `doc/piq.md:697-700`).
  *
  * Layout under `root/`:
- *   violations/ bucket=N/...   per-bucket violation rows (parquet)
- *   summary/    bucket=N/...   per-bucket pass/fail metrics
- *   lineage/                   one row per COMMITTED bucket (append-only)
+ *   <output>/bucket=N/...   one directory per named output (violations,
+ *                           summary, sketches, …), parquet
+ *   lineage/                one row per COMMITTED bucket (append-only)
  *
  * Exactly-once per bucket: bucket outputs are written with dynamic
  * partition overwrite (idempotent on re-run), and the lineage row is
- * appended only AFTER the bucket's data lands — a crash between the two
- * re-processes that bucket (overwriting identical output), never skips or
- * duplicates. This is the parquet-filesystem equivalent of the Iceberg
- * snapshot+lineage single-transaction design in SURVEY.md §2.D (no Iceberg
- * runtime jars ship in this sandbox — documented deviation; swap the two
- * writes for one Iceberg transaction when running against a real catalog).
+ * appended only AFTER all of the bucket's outputs land — a crash between
+ * the two re-processes that bucket (overwriting identical output), never
+ * skips or duplicates. This is the parquet-filesystem equivalent of the
+ * Iceberg snapshot+lineage single-transaction design in SURVEY.md §2.D
+ * (no Iceberg runtime jars ship in this sandbox — documented deviation;
+ * swap the per-output writes + lineage append for one Iceberg transaction
+ * when running against a real catalog).
  */
 final class CheckpointManager(root: String) extends Serializable {
   private def lineagePath = s"$root/lineage"
-  private def violationsPath = s"$root/violations"
-  private def summaryPath = s"$root/summary"
+  private def outPath(name: String) = s"$root/$name"
 
   def committedBuckets(spark: SparkSession): Set[Int] = {
     try {
@@ -37,29 +41,28 @@ final class CheckpointManager(root: String) extends Serializable {
   }
 
   /**
-   * Run `process` over every not-yet-committed bucket of `df`.
+   * Run `outputs` over every not-yet-committed bucket of `df` and commit
+   * each named result partitioned by bucket.
    *
    * @param df        input with an integral `bucketCol` (e.g.
    *                  `pmod(xxhash64(doc_id), nBuckets)`)
-   * @param bucketCol bucket column name
+   * @param outputs   bucket-batch DataFrame → named outputs; each must
+   *                  retain bucketCol
    * @param batches   buckets are committed in groups of this many (fewer
    *                  jobs at scale; 1 = finest-grained resume)
-   * @param process   bucket-batch DataFrame → (violations, summary); both
-   *                  must retain bucketCol
    */
   def runResumable(df: DataFrame, bucketCol: String, allBuckets: Seq[Int],
-      process: DataFrame => (DataFrame, DataFrame), batches: Int = 1): Unit = {
+      outputs: DataFrame => Map[String, DataFrame], batches: Int = 1): Unit = {
     val spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = committedBuckets(spark)
     val todo = allBuckets.filterNot(done)
     todo.grouped(math.max(1, batches)).foreach { group =>
       val batch = df.where(col(bucketCol).isin(group.map(Integer.valueOf): _*))
-      val (violations, summary) = process(batch)
-      violations.withColumn("bucket", col(bucketCol).cast("int"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(violationsPath)
-      summary.withColumn("bucket", col(bucketCol).cast("int"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(summaryPath)
+      outputs(batch).foreach { case (name, out) =>
+        out.withColumn("bucket", col(bucketCol).cast("int"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outPath(name))
+      }
       // commit marker LAST: crash before this line → bucket re-runs idempotently
       import spark.implicits._
       group.map(b => (b, System.currentTimeMillis()))
@@ -68,6 +71,46 @@ final class CheckpointManager(root: String) extends Serializable {
     }
   }
 
-  def violations(spark: SparkSession): DataFrame = spark.read.parquet(violationsPath)
-  def summary(spark: SparkSession): DataFrame = spark.read.parquet(summaryPath)
+  def read(spark: SparkSession, name: String): DataFrame = spark.read.parquet(outPath(name))
+  def violations(spark: SparkSession): DataFrame = read(spark, "violations")
+  def summary(spark: SparkSession): DataFrame = read(spark, "summary")
+}
+
+/**
+ * The full checkpointed validation job: per bucket, commits (violations,
+ * summary, sketches) atomically-enough (lineage last), where `sketches` are
+ * per-bucket t-digest accumulators over the configured numeric columns —
+ * resumable drift state: merging the committed per-bucket sketches
+ * reconstructs the whole-run digest without touching processed data again.
+ */
+object ValidationCheckpoint {
+
+  final case class SketchCol(name: String, column: org.apache.spark.sql.Column)
+
+  def run(docs: DataFrame, plan: ValidationPlan, mgr: CheckpointManager,
+      bucketCol: String, allBuckets: Seq[Int], docKey: String,
+      sketchCols: Seq[SketchCol] = Nil, batches: Int = 1): Unit = {
+    mgr.runResumable(docs, bucketCol, allBuckets, batch => {
+      val validated = ValidationRunner.validate(batch, plan)
+      val violations = ValidationRunner
+        .violationRows(validated.select(col(docKey), col(bucketCol), col("violations")), docKey)
+        .join(batch.select(col(docKey), col(bucketCol)), docKey)
+      val summary = ValidationRunner.summary(validated, Seq(bucketCol))
+      val base = Map("violations" -> violations, "summary" -> summary)
+      if (sketchCols.isEmpty) base
+      else {
+        val aggs = sketchCols.map(sc => Drift.tdigest(sc.column).as(s"sketch_${sc.name}"))
+        val sketches = batch.groupBy(col(bucketCol)).agg(aggs.head, aggs.tail: _*)
+        base + ("sketches" -> sketches)
+      }
+    }, batches)
+  }
+
+  /** Merge the committed per-bucket sketches for `name` into one digest. */
+  def mergedSketch(spark: SparkSession, mgr: CheckpointManager, name: String): TDigest = {
+    val rows = mgr.read(spark, "sketches").select(s"sketch_$name").collect()
+    val merged = new TDigest(100)
+    rows.foreach(r => merged.merge(TDigest.deserialize(r.getAs[Array[Byte]](0))))
+    merged
+  }
 }

@@ -18,9 +18,10 @@ class PipelineSpec extends SparkTestBase {
 
     def process(df: org.apache.spark.sql.DataFrame) = {
       val v = ValidationRunner.validate(df, plan)
-      (ValidationRunner.violationRows(v.withColumn("bucket", col("bucket")), "doc_id")
-        .join(v.select("doc_id", "bucket"), "doc_id"),
-        ValidationRunner.summary(v, Seq("bucket")))
+      Map(
+        "violations" -> ValidationRunner.violationRows(v.withColumn("bucket", col("bucket")), "doc_id")
+          .join(v.select("doc_id", "bucket"), "doc_id"),
+        "summary" -> ValidationRunner.summary(v, Seq("bucket")))
     }
 
     // first run "crashes" after 2 of 4 buckets
@@ -52,6 +53,49 @@ class PipelineSpec extends SparkTestBase {
     var third = 0
     mgr.runResumable(docs, "bucket", Seq(0, 1, 2, 3), df => { third += 1; process(df) })
     assert(third === 0)
+  }
+
+  test("checkpoint: sketch accumulators survive crash-resume and merge to the whole-run digest") {
+    import graft.checkpoint.ValidationCheckpoint
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-sk").toString
+    val mgr = new CheckpointManager(root)
+    val plan = SpecCompiler.compile(Docs.docSpec)
+    val docs = Docs.generate(spark, 2000, numPartitions = 4)
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(4)).cast("int"))
+    val sketchCols = Seq(ValidationCheckpoint.SketchCol("nspans", size(col("spans")).cast("double")))
+
+    // crash after the first bucket commit
+    val crashing = new CheckpointManager(root) // same lineage
+    var n = 0
+    try {
+      crashing.runResumable(docs, "bucket", Seq(0, 1, 2, 3), df => {
+        n += 1
+        if (n > 1) throw new RuntimeException("crash")
+        val v = ValidationRunner.validate(df, plan)
+        Map(
+          "violations" -> ValidationRunner.violationRows(v, "doc_id")
+            .join(df.select("doc_id", "bucket"), "doc_id"),
+          "summary" -> ValidationRunner.summary(v, Seq("bucket")),
+          "sketches" -> df.groupBy(col("bucket"))
+            .agg(graft.exec.Drift.tdigest(size(col("spans")).cast("double")).as("sketch_nspans")))
+      })
+    } catch { case _: RuntimeException => () }
+    assert(mgr.committedBuckets(spark).size === 1)
+
+    // resume through the high-level API
+    ValidationCheckpoint.run(docs, plan, mgr, "bucket", Seq(0, 1, 2, 3), "doc_id", sketchCols)
+    assert(mgr.committedBuckets(spark) === Set(0, 1, 2, 3))
+
+    // merged per-bucket sketches ≈ one-shot digest over all docs
+    val merged = ValidationCheckpoint.mergedSketch(spark, mgr, "nspans")
+    assert(merged.totalWeight === 2000.0)
+    val oneShot = graft.functions.TDigest.deserialize(
+      docs.agg(graft.exec.Drift.tdigest(size(col("spans")).cast("double")))
+        .collect()(0).getAs[Array[Byte]](0))
+    for (q <- Seq(0.25, 0.5, 0.75))
+      assert(math.abs(merged.quantile(q) - oneShot.quantile(q)) <= 1.0) // n_spans ∈ 1..7
+    // and drift between the resumed state and a fresh run of the same data is nil
+    assert(graft.exec.Drift.ksStatistic(merged, oneShot) < 0.05)
   }
 
   test("JSON ingest: parse + validate + strict unknown-key semantics (B2/B3/I10)") {
