@@ -272,8 +272,105 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
   /** Exact violation details: `array<struct<rule,path,detail>>` (report path). */
   lazy val violations: Column = rootWalk(DetailEmitter).as("violations")
 
-  /** Violation count as pure int arithmetic (hot aggregate path). */
-  lazy val violationCount: Column = rootWalk(CountEmitter).cast(LongType).as("violation_count")
+  // ---------- native fast path for the count form ----------
+
+  /**
+   * Try to compile ALL of a repeated record field's element rules into a
+   * native [[StructArrayRuleCount]] rule program (single codegen'd pass,
+   * no higher-order functions). Conservative: any rule shape the native
+   * counter can't represent bit-exactly → None → generic Column fallback.
+   */
+  private def nativeArrayRules(f: PField): Option[Seq[ArrayRule]] = {
+    if (f.mode != Repeated || f.constraints.nonEmpty) return None
+    val (base, aliasCs) = unalias(f.tpe)
+    if (aliasCs.nonEmpty) return None
+    resolveDef(base) match {
+      case Some(RecordDef(_, fields)) =>
+        val rules = scala.collection.mutable.ArrayBuffer[ArrayRule]()
+        fields.foreach { f2 =>
+          val (b2, cs2) = unalias(f2.tpe)
+          if (cs2.nonEmpty || f2.constraints.nonEmpty) return None // regex/utf8/base64 etc → generic
+          f2.mode match {
+            case Required => rules += RuleNotNull(f2.name)
+            case Optional(None) => ()
+            case _ => return None // defaults / nested repeated / flags → generic
+          }
+          b2 match {
+            case PInt(lo, hi) =>
+              if (lo != Long.MinValue || hi != Long.MaxValue) rules += RuleRange(f2.name, lo, hi)
+            case PBool | PFloat | PString | PBinary | PAny => ()
+            case TypeRef(_) => resolveDef(b2) match {
+              case Some(EnumDef(_, opts)) => rules += RuleInSet(f2.name, opts)
+              case _ => return None // nested records/variants/lists → generic
+            }
+            case _ => return None
+          }
+        }
+        Some(rules.toSeq)
+      case _ => None
+    }
+  }
+
+  /** Is `r` a row rule scoped entirely inside repeated field `arrName`, and
+    * expressible natively? */
+  private def absorbableRowRule(r: RowRule, arrName: String, elemFields: Seq[PField]): Option[ArrayRule] = {
+    def sub(p: String): Option[String] = p.split("\\.", 2) match {
+      case Array(h, rest) if h == arrName => Some(rest)
+      case _ => None
+    }
+    r match {
+      case ExactlyOneOf(_, paths) =>
+        val subs = paths.flatMap(sub(_))
+        if (subs.size == paths.size && subs.forall(s => elemFields.exists(_.name == s)))
+          Some(RuleExactlyOne(subs))
+        else None
+      case StrictlyIncreasing(_, arrayPath, field) if arrayPath == arrName =>
+        elemFields.find(_.name == field).flatMap { ef =>
+          unalias(ef.tpe) match {
+            case (PInt(_, _), _) => Some(RuleIncreasing(field)) // int/long fields only
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /**
+   * Violation count as pure int arithmetic (hot aggregate path). Repeated
+   * record fields whose rules are fully representable compile to the native
+   * [[StructArrayRuleCount]] expression (codegen'd single pass) — including
+   * the array-scoped row rules they absorb; everything else uses the generic
+   * CountEmitter walk. Equivalence with `size(violations)` is property-tested.
+   */
+  lazy val violationCount: Column = {
+    val nativeByField: Map[String, (Seq[ArrayRule], Set[RowRule])] =
+      rootRecord.fields.flatMap { f =>
+        nativeArrayRules(f).map { baseRules =>
+          val elemFields = resolveDef(unalias(f.tpe)._1)
+            .collect { case RecordDef(_, fs) => fs }.getOrElse(Nil)
+          val absorbed = spec.rowRules.flatMap(r =>
+            absorbableRowRule(r, f.name, elemFields).map(ar => r -> ar))
+          f.name -> ((baseRules ++ absorbed.map(_._2), absorbed.map(_._1).toSet))
+        }
+      }.toMap
+    val absorbedRowRules: Set[RowRule] = nativeByField.values.flatMap(_._2).toSet
+
+    val fieldCols: Seq[Column] = rootRecord.fields.flatMap { f =>
+      nativeByField.get(f.name) match {
+        case Some((rules, _)) =>
+          Seq(StructArrayRuleCount.column(col(f.name), rules))
+        case None =>
+          fieldVios(CountEmitter, f, col(f.name), f.name, lit(true))
+      }
+    }
+    val rowCols = spec.rowRules.filterNot(absorbedRowRules)
+      .flatMap(r => rowRuleVios(CountEmitter, r))
+    CountEmitter.combine(fieldCols ++ rowCols).cast(LongType).as("violation_count")
+  }
+
+  /** Generic (HOF) count form — benchmarking/fallback reference. */
+  lazy val violationCountGeneric: Column =
+    rootWalk(CountEmitter).cast(LongType).as("violation_count")
 
   /** Pass/fail from the count form — no detail-array construction. */
   lazy val valid: Column = (violationCount === 0).as("valid")

@@ -1,0 +1,200 @@
+package graft.compile
+
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Rules evaluable natively over one `array<struct<...>>` column. Field
+ * references are by name; ordinals and physical types resolve from the
+ * child's (analyzed) dataType at eval/codegen time.
+ */
+sealed trait ArrayRule extends Serializable
+/** required field inside each element (`missing-field`). */
+final case class RuleNotNull(field: String) extends ArrayRule
+/** enum membership (`unknown-enum` / `unknown-value`). */
+final case class RuleInSet(field: String, values: Seq[String]) extends ArrayRule
+/** numeric range (`range`), evaluated in long space (int/long fields). */
+final case class RuleRange(field: String, lo: Long, hi: Long) extends ArrayRule
+/** exactly one of the fields non-null per element (`exactly-one`). */
+final case class RuleExactlyOne(fields: Seq[String]) extends ArrayRule
+/** strictly increasing field across elements — ONE violation per row (`order`). */
+final case class RuleIncreasing(field: String) extends ArrayRule
+
+/**
+ * Native codegen'd violation COUNTER for a struct-array column: evaluates a
+ * compiled rule program in a single pass over the array, emitting unrolled
+ * straight-line Java per rule — no higher-order-function lambda dispatch.
+ *
+ * This is the hot inner loop of interleaved-doc validation (per-span rules
+ * run ~n_spans × n_rules per document); the generic Column formulation goes
+ * through Spark's interpreted HOFs (transform/aggregate are CodegenFallback).
+ * Semantics are EXACTLY the generic CountEmitter's (property-tested
+ * equivalence): per-element rules count per element; RuleIncreasing counts
+ * at most once per row; null array ≡ empty; null element counts its
+ * NotNull/ExactlyOne rules (field access on a null struct is null).
+ */
+case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  private lazy val structType: StructType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private def ord(f: String): Int = structType.fieldIndex(f)
+  private def isLongField(f: String): Boolean = structType(ord(f)).dataType match {
+    case LongType => true
+    case IntegerType | ShortType | ByteType => false
+    case other => throw new IllegalArgumentException(s"RuleRange field $f: unsupported type $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StructType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"StructArrayRuleCount requires array<struct>, got $other")
+    }
+
+  /** Violations charged to a null element (struct-level null). */
+  private lazy val nullElemPenalty: Int = rules.count {
+    case _: RuleNotNull | _: RuleExactlyOne => true
+    case _ => false
+  }
+
+  private lazy val setRefs: Map[String, java.util.HashSet[UTF8String]] =
+    rules.collect { case RuleInSet(f, vs) =>
+      val s = new java.util.HashSet[UTF8String]()
+      vs.foreach(v => s.add(UTF8String.fromString(v)))
+      f -> s
+    }.toMap
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0
+    val arr = v.asInstanceOf[ArrayData]
+    val nFields = structType.length
+    var cnt = 0
+    val incRules = rules.collect { case r: RuleIncreasing => r }
+    val incViolated = Array.fill(incRules.size)(false)
+    val incPrev = new Array[Long](incRules.size)
+    val incPrevSet = Array.fill(incRules.size)(false)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) { cnt += nullElemPenalty }
+      else {
+        val s = arr.getStruct(i, nFields)
+        rules.foreach {
+          case RuleNotNull(f) => if (s.isNullAt(ord(f))) cnt += 1
+          case RuleInSet(f, _) =>
+            val o = ord(f)
+            if (!s.isNullAt(o) && !setRefs(f).contains(s.getUTF8String(o))) cnt += 1
+          case RuleRange(f, lo, hi) =>
+            val o = ord(f)
+            if (!s.isNullAt(o)) {
+              val x = if (isLongField(f)) s.getLong(o) else s.getInt(o).toLong
+              if (x < lo || x > hi) cnt += 1
+            }
+          case RuleExactlyOne(fs) =>
+            var nn = 0
+            fs.foreach(f => if (!s.isNullAt(ord(f))) nn += 1)
+            if (nn != 1) cnt += 1
+          case _: RuleIncreasing => () // handled below (cross-element)
+        }
+        incRules.zipWithIndex.foreach { case (RuleIncreasing(f), k) =>
+          val o = ord(f)
+          if (!s.isNullAt(o)) {
+            val x = if (isLongField(f)) s.getLong(o) else s.getInt(o).toLong
+            if (incPrevSet(k) && x <= incPrev(k)) incViolated(k) = true
+            incPrev(k) = x
+            incPrevSet(k) = true
+          }
+        }
+      }
+      i += 1
+    }
+    cnt + incViolated.count(identity)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arr = ctx.freshName("arr")
+    val cnt = ctx.freshName("cnt")
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val s = ctx.freshName("s")
+    val nFields = structType.length
+
+    val incRules = rules.collect { case r: RuleIncreasing => r }
+    val incDecls = incRules.indices.map { k =>
+      s"boolean ${ev.value}_incV$k = false; long ${ev.value}_incP$k = 0L; boolean ${ev.value}_incS$k = false;"
+    }.mkString("\n")
+
+    def getNum(f: String, o: Int): String =
+      if (isLongField(f)) s"$s.getLong($o)" else s"(long) $s.getInt($o)"
+
+    val perElem = rules.zipWithIndex.map {
+      case (RuleNotNull(f), _) =>
+        s"if ($s.isNullAt(${ord(f)})) $cnt++;"
+      case (RuleInSet(f, _), idx) =>
+        val setRef = ctx.addReferenceObj(s"ruleset$idx", setRefs(f),
+          "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+        s"if (!$s.isNullAt(${ord(f)}) && !$setRef.contains($s.getUTF8String(${ord(f)}))) $cnt++;"
+      case (RuleRange(f, lo, hi), _) =>
+        val o = ord(f)
+        s"""if (!$s.isNullAt($o)) { long _x = ${getNum(f, o)}; if (_x < ${lo}L || _x > ${hi}L) $cnt++; }"""
+      case (RuleExactlyOne(fs), _) =>
+        val nnChecks = fs.map(f => s"if (!$s.isNullAt(${ord(f)})) _nn++;").mkString(" ")
+        s"{ int _nn = 0; $nnChecks if (_nn != 1) $cnt++; }"
+      case (_: RuleIncreasing, _) => ""
+    }.mkString("\n")
+
+    val incUpdates = incRules.zipWithIndex.map { case (RuleIncreasing(f), k) =>
+      val o = ord(f)
+      s"""if (!$s.isNullAt($o)) {
+         |  long _x = ${getNum(f, o)};
+         |  if (${ev.value}_incS$k && _x <= ${ev.value}_incP$k) ${ev.value}_incV$k = true;
+         |  ${ev.value}_incP$k = _x; ${ev.value}_incS$k = true;
+         |}""".stripMargin
+    }.mkString("\n")
+
+    val incFinal = incRules.indices.map(k => s"if (${ev.value}_incV$k) $cnt++;").mkString("\n")
+
+    val code =
+      s"""
+         |${childGen.code}
+         |int $cnt = 0;
+         |if (!${childGen.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $arr = ${childGen.value};
+         |  int $n = $arr.numElements();
+         |  $incDecls
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($arr.isNullAt($i)) { $cnt += $nullElemPenalty; continue; }
+         |    org.apache.spark.sql.catalyst.InternalRow $s = $arr.getStruct($i, $nFields);
+         |    $perElem
+         |    $incUpdates
+         |  }
+         |  $incFinal
+         |}
+         |int ${ev.value} = $cnt;
+       """.stripMargin
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StructArrayRuleCount =
+    copy(child = newChild)
+}
+
+object StructArrayRuleCount {
+  def column(arr: org.apache.spark.sql.Column, rules: Seq[ArrayRule]): org.apache.spark.sql.Column =
+    GraftBridge.column(StructArrayRuleCount(GraftBridge.expression(arr), rules))
+}
