@@ -142,10 +142,12 @@ object SparkEntry {
         .limit(10)
     }),
 
-    // set ops: customers with no orders (EXCEPT)
+    // set ops: BUILDING-segment customers with no large orders (EXCEPT)
     "q_setop" -> ((s, dir) => {
-      t(s, dir, "customer").select(col("c_custkey"))
-        .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+      t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .except(t(s, dir, "orders").where(col("o_totalprice") > 100000)
+          .select(col("o_custkey").as("c_custkey")))
         .orderBy("c_custkey")
     }),
 
@@ -398,8 +400,9 @@ object SparkEntry {
         | ORDER BY total DESC, c_custkey LIMIT 10""".stripMargin.replace("\n", " "),
 
     "q_setop" ->
-      """SELECT c_custkey FROM customer
-        | EXCEPT SELECT o_custkey AS c_custkey FROM orders ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+        | ORDER BY c_custkey""".stripMargin.replace("\n", " "),
 
     "q_window" ->
       """SELECT user_id, event_id, event_type FROM (

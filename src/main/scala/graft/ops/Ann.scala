@@ -90,9 +90,16 @@ object Ann {
       posexplode(array((0 until probes).map(s => Vectors.signBits(col("dv"), bits, 42 + s)): _*)))
       .withColumnRenamed("pos", "probe").withColumnRenamed("col", "cell")
     val q0 = queries.select(col(qIdCol).cast(LongType).as("query_id"), col(qVecCol).as("qv"))
+    // multi-probe (Lv et al., VLDB'07): each query also probes every 1-bit-flip
+    // neighbor of its cell — boundary-adjacent docs land one sign flip away,
+    // so this buys most of the recall that more tables would, without
+    // re-bucketing the (huge) doc side
     val qBuckets = q0.select(col("query_id"), col("qv"),
       posexplode(array((0 until probes).map(s => Vectors.signBits(col("qv"), bits, 42 + s)): _*)))
-      .withColumnRenamed("pos", "probe").withColumnRenamed("col", "cell")
+      .withColumnRenamed("pos", "probe").withColumnRenamed("col", "cell0")
+      .select(col("query_id"), col("qv"), col("probe"),
+        explode(array((Seq(col("cell0")) ++
+          (0 until bits).map(b => col("cell0").bitwiseXOR(lit(1L << b)))): _*)).as("cell"))
 
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     dBuckets.join(broadcast(qBuckets), Seq("probe", "cell"))
