@@ -132,6 +132,31 @@ final case class Spec(
     (imported ++ defs.map(d => d.name -> d)).toMap
   }
 
+  /**
+   * Extension application (piqi `extend`, `doc/piqi.md:766-869`): splice a
+   * field into an existing record def — the Scala-composition analog of
+   * `apply_extensions` (`piqilib/piqi.ml:1009-1247`). Re-runs all structural
+   * checks (dup fields, cycles) on the extended module.
+   */
+  def extendRecord(recordName: String, field: PField): Spec = {
+    require(defs.exists { case RecordDef(n, _) => n == recordName; case _ => false },
+      s"extend target record '$recordName' not found")
+    copy(defs = defs.map {
+      case RecordDef(n, fs) if n == recordName => RecordDef(n, fs :+ field)
+      case d => d
+    })
+  }
+
+  /** Extension for enums: add options (piqi `extend` on enum, `doc/piqi.md:836-846`). */
+  def extendEnum(enumName: String, options: String*): Spec = {
+    require(defs.exists { case EnumDef(n, _) => n == enumName; case _ => false },
+      s"extend target enum '$enumName' not found")
+    copy(defs = defs.map {
+      case EnumDef(n, os) if n == enumName => EnumDef(n, os ++ options)
+      case d => d
+    })
+  }
+
   /** Desugared copy: flags become optional bool default false (`piqi.ml:663-682`). */
   lazy val resolved: Spec = {
     val newDefs = defs.map {
