@@ -105,8 +105,10 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("count_order"),
-          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_base_price"),
+          // final decimal sums cast to DuckDB's sum result type decimal(38,4)
+          // (Spark's is decimal(28,4); the driver's hash check is type-sensitive)
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_base_price"),
           sum((col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
             .cast("decimal(28,8)")).as("sum_disc_price"))
@@ -125,7 +127,7 @@ object SparkEntry {
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_price"))
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_price"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -134,7 +136,7 @@ object SparkEntry {
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
       orders.groupBy("o_custkey")
-        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("total"),
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("total"),
           count(lit(1)).as("n"))
         .join(broadcast(customer), col("o_custkey") === customer("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("total"), col("n"))
@@ -142,11 +144,13 @@ object SparkEntry {
         .limit(10)
     }),
 
-    // set ops: BUILDING-segment customers with no large orders (EXCEPT)
+    // set ops: BUILDING-segment customers with no very-large orders (EXCEPT).
+    // Threshold 300000 keeps the result non-empty at the driver's sf0.01
+    // (100000 made every customer match → vacuous 0=0 oracle).
     "q_setop" -> ((s, dir) => {
       t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
-        .except(t(s, dir, "orders").where(col("o_totalprice") > 100000)
+        .except(t(s, dir, "orders").where(col("o_totalprice") > 300000)
           .select(col("o_custkey").as("c_custkey")))
         .orderBy("c_custkey")
     }),
@@ -401,7 +405,7 @@ object SparkEntry {
 
     "q_setop" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        | EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+        | EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
         | ORDER BY c_custkey""".stripMargin.replace("\n", " "),
 
     "q_window" ->

@@ -187,10 +187,12 @@ object ValidationRunner {
    * Join strategy: if the catalog is (estimated) small, apply the
    * `broadcast` hint; else leave it to Catalyst/AQE (shuffled hash or SMJ).
    * `catalogRowHint` lets a caller pass known cardinality (e.g. from table
-   * stats) to avoid the count job.
+   * stats) to avoid the count job. The broadcast cutoff defaults to 1M rows
+   * (~tens of MB for a wide key — a 10M default risked several-hundred-MB
+   * broadcasts per executor).
    */
   def refCheck(df: DataFrame, refCol: String, catalog: DataFrame, catKey: String,
-      broadcastMaxRows: Long = 10000000L, catalogRowHint: Option[Long] = None): DataFrame = {
+      broadcastMaxRows: Long = 1000000L, catalogRowHint: Option[Long] = None): DataFrame = {
     val catRows = catalogRowHint.getOrElse(catalog.count())
     val cat = catalog.select(col(catKey).as(refCol)).distinct()
     val rhs = if (catRows <= broadcastMaxRows) broadcast(cat) else cat
