@@ -36,7 +36,11 @@ final class CheckpointManager(root: String) extends Serializable {
     try {
       spark.read.parquet(lineagePath).select("bucket").collect().map(_.getInt(0)).toSet
     } catch {
-      case _: Exception => Set.empty // no lineage yet
+      // ONLY "no lineage yet" may mean an empty set; any other failure
+      // (corrupt file, transient IO) must propagate — treating it as "no
+      // lineage" would silently reprocess every bucket.
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => Set.empty
     }
   }
 
@@ -54,20 +58,30 @@ final class CheckpointManager(root: String) extends Serializable {
   def runResumable(df: DataFrame, bucketCol: String, allBuckets: Seq[Int],
       outputs: DataFrame => Map[String, DataFrame], batches: Int = 1): Unit = {
     val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val done = committedBuckets(spark)
-    val todo = allBuckets.filterNot(done)
-    todo.grouped(math.max(1, batches)).foreach { group =>
-      val batch = df.where(col(bucketCol).isin(group.map(Integer.valueOf): _*))
-      outputs(batch).foreach { case (name, out) =>
-        out.withColumn("bucket", col(bucketCol).cast("int"))
-          .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outPath(name))
+    val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+    val savedMode = spark.conf.getOption(overwriteModeKey)
+    spark.conf.set(overwriteModeKey, "dynamic")
+    try {
+      val done = committedBuckets(spark)
+      val todo = allBuckets.filterNot(done)
+      todo.grouped(math.max(1, batches)).foreach { group =>
+        val batch = df.where(col(bucketCol).isin(group.map(Integer.valueOf): _*))
+        outputs(batch).foreach { case (name, out) =>
+          out.withColumn("bucket", col(bucketCol).cast("int"))
+            .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outPath(name))
+        }
+        // commit marker LAST: crash before this line → bucket re-runs idempotently
+        import spark.implicits._
+        group.map(b => (b, System.currentTimeMillis()))
+          .toDF("bucket", "committed_at_ms")
+          .write.mode(SaveMode.Append).parquet(lineagePath)
       }
-      // commit marker LAST: crash before this line → bucket re-runs idempotently
-      import spark.implicits._
-      group.map(b => (b, System.currentTimeMillis()))
-        .toDF("bucket", "committed_at_ms")
-        .write.mode(SaveMode.Append).parquet(lineagePath)
+    } finally {
+      // session conf is shared state — restore what we found
+      savedMode match {
+        case Some(m) => spark.conf.set(overwriteModeKey, m)
+        case None => spark.conf.unset(overwriteModeKey)
+      }
     }
   }
 
@@ -92,9 +106,12 @@ object ValidationCheckpoint {
       sketchCols: Seq[SketchCol] = Nil, batches: Int = 1): Unit = {
     mgr.runResumable(docs, bucketCol, allBuckets, batch => {
       val validated = ValidationRunner.validate(batch, plan)
-      val violations = ValidationRunner
-        .violationRows(validated.select(col(docKey), col(bucketCol), col("violations")), docKey)
-        .join(batch.select(col(docKey), col(bucketCol)), docKey)
+      // bucketCol rides through the explode — NEVER re-join on docKey here:
+      // duplicate doc_ids (a supported, validated scenario) would multiply
+      // each violation row by the duplicate count
+      val violations = ValidationRunner.violationRows(
+        validated.select(col(docKey), col(bucketCol), col("violations")),
+        docKey, passthroughCols = Seq(bucketCol))
       val summary = ValidationRunner.summary(validated, Seq(bucketCol))
       val base = Map("violations" -> violations, "summary" -> summary)
       if (sketchCols.isEmpty) base

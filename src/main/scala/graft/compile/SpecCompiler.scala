@@ -233,6 +233,9 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
   }
 
   private def oneOfVios[R](e: Emitter[R], name: String, paths: Seq[String], exact: Boolean): Seq[R] = {
+    // distinct rule ids: "exactly-one" vs "at-most-one" (reports must not
+    // conflate the two row-rule kinds)
+    val ruleId = if (exact) s"exactly-one:$name" else s"at-most-one:$name"
     // supported shapes: all top-level paths, or all inside one repeated field
     val arrayPrefixes = paths.map(_.split("\\.", 2)).collect {
       case Array(head, rest) if isRepeatedRoot(head) => (head, rest)
@@ -243,14 +246,14 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
       Seq(e.fromArray(col(arrName), arrName, (x, _) => {
         val cnt = subFields.map(f => x.getField(f).isNotNull.cast(IntegerType)).reduce(_ + _)
         val bad = if (exact) cnt =!= 1 else cnt > 1
-        e.emit(bad, s"exactly-one:$name", arrName,
+        e.emit(bad, ruleId, arrName,
           concat_ws(",", subFields.map(f => when(x.getField(f).isNotNull, lit(f))): _*))
       }))
     } else {
       val cols = paths.map(p => col(p))
       val cnt = cols.map(_.isNotNull.cast(IntegerType)).reduce(_ + _)
       val bad = if (exact) cnt =!= 1 else cnt > 1
-      Seq(e.emit(bad, s"exactly-one:$name", paths.mkString("|"),
+      Seq(e.emit(bad, ruleId, paths.mkString("|"),
         concat_ws(",", paths.zip(cols).map { case (p, c) => when(c.isNotNull, lit(p)) }: _*)))
     }
   }

@@ -34,9 +34,16 @@ final case class RuleIncreasing(field: String) extends ArrayRule
  * run ~n_spans × n_rules per document); the generic Column formulation goes
  * through Spark's interpreted HOFs (transform/aggregate are CodegenFallback).
  * Semantics are EXACTLY the generic CountEmitter's (property-tested
- * equivalence): per-element rules count per element; RuleIncreasing counts
- * at most once per row; null array ≡ empty; null element counts its
- * NotNull/ExactlyOne rules (field access on a null struct is null).
+ * equivalence, including containsNull=true arrays and null ordered fields):
+ *  - per-element rules count per element; null array ≡ empty;
+ *  - a null ELEMENT counts only its RuleExactlyOne rules (field access on a
+ *    null struct is null → the count of non-null options is 0 ≠ 1), never
+ *    RuleNotNull (the generic walk guards record rules with `isNotNull`);
+ *  - RuleIncreasing counts at most once per row and compares ADJACENT pairs
+ *    only: a pair violates iff both elements are non-null and both field
+ *    values are non-null and next ≤ current (the generic zip_with yields
+ *    null — not a violation — for any pair touching a null), so a null
+ *    element or null field value breaks the comparison chain.
  */
 case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
     extends UnaryExpression {
@@ -62,9 +69,11 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
           s"StructArrayRuleCount requires array<struct>, got $other")
     }
 
-  /** Violations charged to a null element (struct-level null). */
+  /** Violations charged to a null element (struct-level null): only
+    * RuleExactlyOne fires there in the generic walk (0 non-null ≠ 1);
+    * RuleNotNull is guarded by the element's own isNotNull. */
   private lazy val nullElemPenalty: Int = rules.count {
-    case _: RuleNotNull | _: RuleExactlyOne => true
+    case _: RuleExactlyOne => true
     case _ => false
   }
 
@@ -88,7 +97,13 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      if (arr.isNullAt(i)) { cnt += nullElemPenalty }
+      if (arr.isNullAt(i)) {
+        cnt += nullElemPenalty
+        // a null element breaks every increasing-comparison chain (the
+        // generic adjacent-pair zip_with yields null for pairs touching it)
+        var k = 0
+        while (k < incRules.size) { incPrevSet(k) = false; k += 1 }
+      }
       else {
         val s = arr.getStruct(i, nFields)
         rules.foreach {
@@ -115,7 +130,7 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
             if (incPrevSet(k) && x <= incPrev(k)) incViolated(k) = true
             incPrev(k) = x
             incPrevSet(k) = true
-          }
+          } else incPrevSet(k) = false // null value breaks the chain
         }
       }
       i += 1
@@ -162,8 +177,11 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
          |  long _x = ${getNum(f, o)};
          |  if (${ev.value}_incS$k && _x <= ${ev.value}_incP$k) ${ev.value}_incV$k = true;
          |  ${ev.value}_incP$k = _x; ${ev.value}_incS$k = true;
-         |}""".stripMargin
+         |} else { ${ev.value}_incS$k = false; }""".stripMargin
     }.mkString("\n")
+
+    val incNullElemReset = incRules.indices
+      .map(k => s"${ev.value}_incS$k = false;").mkString(" ")
 
     val incFinal = incRules.indices.map(k => s"if (${ev.value}_incV$k) $cnt++;").mkString("\n")
 
@@ -176,7 +194,7 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
          |  int $n = $arr.numElements();
          |  $incDecls
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($arr.isNullAt($i)) { $cnt += $nullElemPenalty; continue; }
+         |    if ($arr.isNullAt($i)) { $cnt += $nullElemPenalty; $incNullElemReset continue; }
          |    org.apache.spark.sql.catalyst.InternalRow $s = $arr.getStruct($i, $nFields);
          |    $perElem
          |    $incUpdates

@@ -20,19 +20,27 @@ import graft.functions.TDigest
  */
 object Drift {
 
-  /** Typed t-digest aggregator: Double column → serialized sketch bytes. */
-  class TDigestAggregator(compression: Double) extends Aggregator[Double, TDigest, Array[Byte]] {
+  /** Typed t-digest aggregator: Double column → serialized sketch bytes.
+    * Input is boxed so NULL values are skipped (an unboxed Double input
+    * crashes on nullable columns with "Null value appeared in non-nullable
+    * field" — callers like the checkpointed sketch path pass arbitrary
+    * user columns). */
+  class TDigestAggregator(compression: Double)
+      extends Aggregator[java.lang.Double, TDigest, Array[Byte]] {
     override def zero: TDigest = new TDigest(compression)
-    override def reduce(b: TDigest, a: Double): TDigest = { b.add(a); b }
+    override def reduce(b: TDigest, a: java.lang.Double): TDigest = {
+      if (a != null) b.add(a.doubleValue()); b
+    }
     override def merge(b1: TDigest, b2: TDigest): TDigest = { b1.merge(b2); b1 }
     override def finish(r: TDigest): Array[Byte] = r.serialize()
     override def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** t-digest as a `Column` aggregate usable in `df.groupBy(...).agg(...)`. */
+  /** t-digest as a `Column` aggregate usable in `df.groupBy(...).agg(...)`;
+    * null input values are skipped (SQL aggregate semantics). */
   def tdigest(c: Column, compression: Double = 100.0): Column =
-    udaf(new TDigestAggregator(compression), Encoders.scalaDouble)
+    udaf(new TDigestAggregator(compression), Encoders.DOUBLE)
       .apply(c.cast("double"))
 
   /** Per-group sketches: one row per group, sketch bytes column. */

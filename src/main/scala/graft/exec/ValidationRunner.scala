@@ -44,13 +44,20 @@ object ValidationRunner {
    * `(docKey, rule, path, detail)`). Computed in the SAME projection that
    * feeds [[summary]], so a caller can cache `validate(df)` and run both.
    */
-  def violationRows(validated: DataFrame, docKey: String): DataFrame =
+  def violationRows(validated: DataFrame, docKey: String,
+      passthroughCols: Seq[String] = Nil): DataFrame = {
+    val keep = (docKey +: passthroughCols).map(col)
     validated
       // explode (non-outer) emits nothing for empty arrays — no extra filter,
-      // so the violations expression is evaluated exactly once per row
-      .select(col(docKey), explode(col("violations")).as("v"))
-      .select(col(docKey), col("v.rule").as("rule"), col("v.path").as("path"),
-        col("v.detail").as("detail"))
+      // so the violations expression is evaluated exactly once per row.
+      // `passthroughCols` ride along (e.g. a checkpoint bucket column) —
+      // carrying them here avoids a re-join on docKey, which would multiply
+      // violation rows when docKey is not unique (duplicate doc_ids are a
+      // supported scenario: uniqueness is itself a validated rule).
+      .select(keep :+ explode(col("violations")).as("v"): _*)
+      .select(keep ++ Seq(col("v.rule").as("rule"), col("v.path").as("path"),
+        col("v.detail").as("detail")): _*)
+  }
 
   /**
    * Per-partition pass/fail summary (north rule: "per-partition pass/fail

@@ -132,6 +132,45 @@ class CompilerEdgeSpec extends SparkTestBase {
     assert(both.where(size(col("violations")) =!= col("violation_count")).count() === 0)
   }
 
+  test("native/generic/detail forms agree on null array elements and null ordered fields") {
+    // containsNull=true + nullable offset — shapes Docs.generate can never
+    // produce, where the three forms historically diverged: a null element
+    // must charge ONLY exactly-one rules (never not-null), and a null
+    // element / null ordered value must break the increasing chain (the
+    // generic adjacent-pair zip_with yields null for pairs touching a null).
+    val plan = SpecCompiler.compile(graft.io.Docs.docSpec)
+    val spanT = StructType(Seq(
+      StructField("kind", StringType), StructField("text", StringType),
+      StructField("media_ref", StringType), StructField("offset", LongType)))
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("spans", ArrayType(spanT, containsNull = true))))
+    val rows = Seq(
+      Row("doc-a", Seq(Row("text", "t", null, 0L), Row("media", null, "m", 5L))), // valid
+      Row("doc-b", Seq(Row("text", "t", null, 0L), null, Row("text", "t2", null, 0L))), // null elem
+      Row("doc-c", Seq(Row("text", "t", null, 5L), Row("text", "t2", null, 3L))), // decreasing
+      Row("doc-d", Seq(Row("text", "t", null, 0L), Row("text", "t2", null, null), Row("text", "t3", null, 0L))), // null offset
+      Row("doc-e", Seq(Row("video", "t", null, 4L), Row("text", "t2", null, 4L))), // bad enum + tie
+      Row("doc-f", null)) // null array
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val all = df
+      .withColumn("n_detail", size(plan.violations).cast("long"))
+      .withColumn("n_native", plan.violationCount)
+      .withColumn("n_generic", plan.violationCountGeneric)
+      .select("doc_id", "n_detail", "n_native", "n_generic")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expected = Map(
+      "doc-a" -> 0L, // clean
+      "doc-b" -> 1L, // null element: exactly-one only; order chain broken
+      "doc-c" -> 1L, // order violation
+      "doc-d" -> 1L, // missing offset; order chain broken by null value
+      "doc-e" -> 2L, // unknown enum + non-increasing tie
+      "doc-f" -> 0L) // absent repeated ≡ empty
+    expected.foreach { case (id, n) =>
+      assert(all(id) === ((n, n, n)), s"$id: (detail,native,generic)=${all(id)} expected $n")
+    }
+  }
+
   test("describe dumps the resolved module (A14)") {
     val text = graft.SparkEntry.documentsPlan.describe
     assert(text.contains("record doc"))

@@ -111,4 +111,14 @@ class DriftSpec extends SparkTestBase {
     val expected = e.map { case (_, _, ee, oo) => (oo - ee) * (oo - ee) / ee }.sum
     assert(math.abs(r.statistic - expected) < 1e-9)
   }
+
+  test("tdigest skips nulls in nullable input columns (no crash, weight = non-null count)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq[java.lang.Double](1.0, null, 2.0, null, 3.0).toDF("x")
+    val bytes = df.agg(Drift.tdigest(col("x"))).collect()(0).getAs[Array[Byte]](0)
+    val d = TDigest.deserialize(bytes)
+    assert(d.totalWeight === 3.0)
+    assert(math.abs(d.quantile(0.5) - 2.0) < 1e-9)
+  }
 }

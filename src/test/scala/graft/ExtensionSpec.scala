@@ -75,6 +75,6 @@ class ExtensionSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
     assert(out("a") === Set.empty)
     assert(out("b") === Set.empty)
-    assert(out("c") === Set("exactly-one:xy"))
+    assert(out("c") === Set("at-most-one:xy"))
   }
 }

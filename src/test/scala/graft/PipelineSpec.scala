@@ -98,6 +98,38 @@ class PipelineSpec extends SparkTestBase {
     assert(graft.exec.Drift.ksStatistic(merged, oneShot) < 0.05)
   }
 
+  test("checkpoint: duplicate doc_ids do not multiply committed violation rows") {
+    import graft.checkpoint.ValidationCheckpoint
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-dup").toString
+    val mgr = new CheckpointManager(root)
+    val plan = SpecCompiler.compile(Docs.docSpec)
+    // hotEvery=10 makes docs 0,10,20,… share doc_id "doc-hot"; corruptEvery=10
+    // makes exactly those docs carry violations — the worst case for any
+    // docKey re-join (each doc-hot violation would multiply ×10)
+    val docs = Docs.generate(spark, 100, 2, hotEvery = 10, corruptEvery = 10)
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(2)).cast("int"))
+    ValidationCheckpoint.run(docs, plan, mgr, "bucket", Seq(0, 1), "doc_id")
+    val committed = mgr.violations(spark).count()
+    val direct = ValidationRunner.violationRows(
+      ValidationRunner.validate(docs, plan), "doc_id").count()
+    assert(direct > 0)
+    assert(committed === direct, s"committed=$committed direct=$direct (re-join multiplication?)")
+  }
+
+  test("checkpoint: runResumable restores partitionOverwriteMode") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-conf").toString
+    val mgr = new CheckpointManager(root)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "static")
+    val docs = Docs.generate(spark, 20, 1)
+      .withColumn("bucket", lit(0))
+    mgr.runResumable(docs, "bucket", Seq(0),
+      df => Map("echo" -> df.select("doc_id", "bucket")))
+    assert(spark.conf.get(key) === "static")
+    before match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+  }
+
   test("JSON ingest: parse + validate + strict unknown-key semantics (B2/B3/I10)") {
     val spark0 = spark
     import spark0.implicits._
