@@ -38,12 +38,18 @@ object Dedup {
   /**
    * Word-shingle hashes WITHOUT building shingle strings: tokens are hashed
    * once, then each shingle hash combines `n` consecutive token hashes via
-   * xxhash64 over longs. (Perf note: the naive string-shingle version
-   * re-built and re-hashed every shingle string per hash function —
-   * measured 17 ms/doc at 32 hashes; this form is hash-of-long arithmetic
-   * after one pass of string hashing.)
+   * xxhash64 over longs. Computed by the native codegen'd
+   * [[graft.functions.ShingleHashes]] expression: the HOF form below reads
+   * the token-hash array through `element_at` inside a lambda, which
+   * re-evaluates the whole array construction per access — O(n²·k) token
+   * hashes per doc, measured 16.6 s for 5,050 docs (it, not the signature
+   * passes, was the true minhash bottleneck).
    */
-  def shingleHashes(textCol: Column, shingleSize: Int): Column = {
+  def shingleHashes(textCol: Column, shingleSize: Int): Column =
+    graft.functions.HashExpressions.shingleHashesNative(Text.tokens(textCol), shingleSize)
+
+  /** Generic HOF form of [[shingleHashes]] — equivalence-test reference. */
+  def shingleHashesHOF(textCol: Column, shingleSize: Int): Column = {
     val th = transform(Text.tokens(textCol), t => xxhash64(t))
     val n = size(th)
     val k = shingleSize
@@ -56,15 +62,23 @@ object Dedup {
   /**
    * MinHash signature: `numHashes` independent permutation mins over the
    * shingle-hash set; permutation i = xxhash64(seed=i, shingleHash) — long
-   * in, long out, no string work per hash function.
+   * in, long out, no string work per hash function. Computed by the native
+   * codegen'd [[graft.functions.MinHashSignature]] expression (ONE pass over
+   * the shingle array; the HOF form below re-scanned it per slot through
+   * interpreted lambdas — 6.5 s for 5,050 docs at 32 slots).
    */
-  def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int = 3): Column = {
-    val sh = shingleHashes(textCol, shingleSize)
-    val mins = (0 until numHashes).map { i =>
+  def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int = 3): Column =
+    graft.functions.HashExpressions.minhashSignatureNative(
+      shingleHashes(textCol, shingleSize), numHashes)
+
+  /** Generic HOF form of [[minhashSignature]] — equivalence-test reference. */
+  def minhashSignatureHOF(textCol: Column, numHashes: Int, shingleSize: Int = 3): Column =
+    minhashSignatureFromHashesHOF(shingleHashes(textCol, shingleSize), numHashes)
+
+  private[graft] def minhashSignatureFromHashesHOF(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
       array_min(transform(sh, h => xxhash64(lit(i), h)))
-    }
-    array(mins: _*)
-  }
+    }: _*)
 
   /**
    * MinHash + LSH banding near-dup candidate pairs: signature split into
@@ -89,10 +103,12 @@ object Dedup {
     // AND the two verification re-joins — without this the sig expression
     // re-executes per consumer (measured 3× cost). At warehouse scale this
     // is the step you would write to storage; MEMORY_AND_DISK is the
-    // local-mode equivalent (narrow: id + numHashes longs per doc).
+    // local-mode equivalent (narrow: id + numHashes longs per doc). The
+    // result is localCheckpoint'ed + the signature table unpersisted before
+    // returning, so a long-lived session does not accumulate pinned cache.
     val withSig = withSh.select(col("id"),
-      array((0 until numHashes).map(i =>
-        array_min(transform(col("sh"), h => xxhash64(lit(i), h)))): _*).as("sig"))
+      graft.functions.HashExpressions
+        .minhashSignatureNative(col("sh"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band key = hash of the band's slice of the signature; the join carries
@@ -110,7 +126,7 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
 
-    pairs
+    val verified = pairs
       .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("sig_sim",
@@ -118,14 +134,27 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast(DoubleType) / lit(numHashes))
       .where(col("sig_sim") >= threshold)
       .select("id_a", "id_b", "sig_sim")
+    // eager local checkpoint materializes the (small) pair set and truncates
+    // lineage, so the signature cache can be released NOW instead of leaking
+    // pinned storage across a shared session (checkpoint blocks are
+    // GC-managed by the ContextCleaner, unlike persist which pins forever)
+    val out = verified.localCheckpoint(true)
+    withSig.unpersist()
+    out
   }
 
   /**
    * 64-bit SimHash over tokens: bit b of the hash is the sign of the sum of
-   * (2*bit_b(xxhash64(token)) - 1) across tokens. Expressed as a single
-   * `aggregate` over a 64-slot counter array — stays in codegen.
+   * (2*bit_b(xxhash64(token)) - 1) across tokens. Computed by the native
+   * codegen'd [[graft.functions.Simhash64]] expression — the HOF form below
+   * ran 64 interpreted zip_with ops per token (16.0 s for 5,050 docs, ~3
+   * ms/doc: a scale-killer at corpus size).
    */
-  def simhash64(textCol: Column): Column = {
+  def simhash64(textCol: Column): Column =
+    graft.functions.HashExpressions.simhash64Native(Text.tokens(textCol))
+
+  /** Generic HOF form of [[simhash64]] — equivalence-test reference. */
+  def simhash64HOF(textCol: Column): Column = {
     val toks = Text.tokens(textCol)
     val counts = aggregate(
       toks,

@@ -14,6 +14,18 @@ object DebugCodegen {
     // debugCodegen output
     import org.apache.spark.sql.execution.debug._
     counted.debugCodegen()
+    // dedup signature expressions (Simhash64 / MinHashSignature natives);
+    // spark.range (not a local Seq) so the projection stays a distributed
+    // plan — ConvertToLocalRelation would otherwise evaluate it driver-side
+    // with no codegen to inspect
+    val texts = spark.range(0, 1000, 1, 4).select(col("id"),
+      concat_ws(" ", lit("alpha"), col("id").cast("string"),
+        lit("beta gamma delta"), pmod(col("id"), lit(7)).cast("string")).as("text"))
+    val sigs = texts.select(
+      graft.ops.Dedup.simhash64(col("text")).as("simhash"),
+      graft.ops.Dedup.minhashSignature(col("text"), 32).as("minhash"))
+    sigs.debugCodegen()
+    sigs.collect() // force execution: janino errors surface as WARN + fallback
     spark.stop()
   }
 }

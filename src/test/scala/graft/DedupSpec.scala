@@ -149,4 +149,58 @@ class DedupSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getLong(1) <= 3))
   }
+
+  test("native Simhash64 equals HOF simhash bit-for-bit (incl. empty/null/odd tokens)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val texts = (0 until 200).map(i => (i.toLong, mkText(i))) ++ Seq(
+      (900L, ""), (901L, "   "), (902L, "one"), (903L, "a b c d"),
+      (904L, "unicode \u00fcber stra\u00dfe \u4e2d\u6587"), (905L, null: String))
+    val df = texts.toDF("id", "text")
+    val both = df.select(col("id"),
+      Dedup.simhash64(col("text")).as("native"),
+      Dedup.simhash64HOF(col("text")).as("hof"))
+    assert(both.where(!(col("native") <=> col("hof"))).count() === 0)
+    // null text propagates null through both forms
+    assert(both.where(col("id") === 905L).collect()(0).isNullAt(1))
+  }
+
+  test("native MinHashSignature equals HOF signature exactly (incl. empty shingle sets)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val texts = (0 until 200).map(i => (i.toLong, mkText(i))) ++ Seq(
+      (900L, "one two"), (901L, "x"), (902L, ""), (903L, null: String))
+    val df = texts.toDF("id", "text")
+    val both = df.select(col("id"),
+      Dedup.minhashSignature(col("text"), 32).as("native"),
+      Dedup.minhashSignatureHOF(col("text"), 32).as("hof"))
+    assert(both.where(!(col("native") <=> col("hof"))).count() === 0)
+  }
+
+  test("native ShingleHashes equals HOF shingle hashes exactly (short/dup/unicode docs)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val texts = (0 until 200).map(i => (i.toLong, mkText(i))) ++ Seq(
+      (900L, ""), (901L, "one"), (902L, "one two"), (903L, "one two three"),
+      (904L, "a a a a a a"), // duplicate shingles → distinct must collapse
+      (905L, "x y x y x y x y"),
+      (906L, "unicode über straße 中文 mixed in text"),
+      (907L, null: String))
+    val df = texts.toDF("id", "text")
+    for (k <- Seq(1, 3, 5)) {
+      val both = df.select(col("id"),
+        Dedup.shingleHashes(col("text"), k).as("native"),
+        Dedup.shingleHashesHOF(col("text"), k).as("hof"))
+      assert(both.where(!(col("native") <=> col("hof"))).count() === 0, s"k=$k diverged")
+    }
+  }
+
+  test("minhashNearDups leaves no pinned cache behind (lifecycle)") {
+    val df = corpus(30)
+    val out = Dedup.minhashNearDups(df, "id", "text", numHashes = 32, bands = 8, threshold = 0.9)
+    assert(out.count() >= 3) // the exact dups at minimum
+    // the signature persist must have been released before returning
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "minhashNearDups left a DataFrame pinned in the cache manager")
+  }
 }
