@@ -82,13 +82,26 @@ object Ann {
    * same cells; exact cosine within cells; global top-k per query from the
    * per-cell candidates. Recall < 1.0 (approximate); `probes` and `bits`
    * tune the recall/cost trade-off.
+   *
+   * `maxCell` bounds any (probe,cell)'s doc count (a hot cell under
+   * clustered/duplicated embeddings otherwise scans every member per
+   * matching query); docs in over-full cells are dropped from THAT probe
+   * only — other probe seeds still cover them. 0 disables the cap.
    */
   def lshTopK(docs: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      qIdCol: String, qVecCol: String, k: Int, bits: Int = 6, probes: Int = 3): DataFrame = {
+      qIdCol: String, qVecCol: String, k: Int, bits: Int = 6, probes: Int = 3,
+      maxCell: Int = 1000000): DataFrame = {
     val d0 = docs.select(col(idCol).cast(LongType).as("doc_id"), col(vecCol).as("dv"))
-    val dBuckets = d0.select(col("doc_id"), col("dv"),
+    val dBuckets0 = d0.select(col("doc_id"), col("dv"),
       posexplode(array((0 until probes).map(s => Vectors.signBits(col("dv"), bits, 42 + s)): _*)))
       .withColumnRenamed("pos", "probe").withColumnRenamed("col", "cell")
+    val dBuckets =
+      if (maxCell <= 0) dBuckets0
+      else {
+        val small = dBuckets0.groupBy("probe", "cell").agg(count(lit(1)).as("_csz"))
+          .where(col("_csz") <= maxCell).drop("_csz")
+        dBuckets0.join(small, Seq("probe", "cell"))
+      }
     val q0 = queries.select(col(qIdCol).cast(LongType).as("query_id"), col(qVecCol).as("qv"))
     // multi-probe (Lv et al., VLDB'07): each query also probes every 1-bit-flip
     // neighbor of its cell — boundary-adjacent docs land one sign flip away,

@@ -22,6 +22,32 @@ import graft.functions.{Text, Vectors}
  */
 object Dedup {
 
+  /**
+   * Cap LSH bucket sizes: drop all rows of any bucket whose size exceeds
+   * `cap`. A hot (band,bucket) — templated/duplicated corpora make these
+   * common — otherwise goes quadratic on one reducer at scale (a bucket of
+   * size s produces s²/2 candidate pairs). The aggregate+join runs on the
+   * SAME keys as the downstream self-join, so the exchange is reused.
+   *
+   * Dropping a bucket loses its candidate pairs by design: buckets past any
+   * sane cap are dominated by exact duplicates, which [[exactDedup]] must
+   * remove first (the Manku WWW'07 pipeline ordering). Use
+   * [[overflowBuckets]] to report what was dropped.
+   */
+  private[ops] def capBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    if (cap <= 0) return df // 0/negative = uncapped
+    val keys = keyCols.map(col)
+    val small = df.groupBy(keys: _*).agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") <= cap).drop("_bsz")
+    df.join(small, keyCols)
+  }
+
+  /** Buckets larger than `cap` with their sizes — the dropped-candidate
+    * report for a capped LSH join. */
+  def overflowBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > cap)
+
   /** Exact duplicate groups by full content hash. Returns (content_hash, cnt). */
   def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast(StringType)).as("content_hash"))
@@ -87,10 +113,13 @@ object Dedup {
    * minhash components ≈ Jaccard).
    *
    * Returns (id_a, id_b, sig_sim) with id_a < id_b, sig_sim ≥ threshold.
+   *
+   * `maxBucket` bounds any (band,bucket)'s candidate contribution (see
+   * [[capBuckets]]); 0 disables the cap.
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // two-step projection: shingle hashes materialize ONCE, then 32 permuted
@@ -114,10 +143,11 @@ object Dedup {
     // band key = hash of the band's slice of the signature; the join carries
     // ONLY (band, bucket, id) — signatures re-join after pair dedup, so the
     // shuffle stays narrow even when buckets collide heavily
-    val banded = withSig.select(col("id"),
+    val banded0 = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(b, to_json(struct(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket)
 
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -179,11 +209,11 @@ object Dedup {
    * (block_index, block_value) finds all such pairs without O(n²).
    */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     val numBlocks = maxHamming + 1
     val bitsPerBlock = 64 / numBlocks
     val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    val blocked = withSig.select(col("id"), col("sig"),
+    val blocked0 = withSig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(numBlocks - 1)), blk => {
         val sh = blk * bitsPerBlock
         val width = when(blk === numBlocks - 1, lit(64) - sh).otherwise(lit(bitsPerBlock))
@@ -192,6 +222,7 @@ object Dedup {
           .bitwiseAND(call_function("shiftleft", lit(1L), width) - 1)
       })))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bval")
+    val blocked = capBuckets(blocked0, Seq("blk", "bval"), maxBucket)
     val a = blocked.select(col("blk"), col("bval"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = blocked.select(col("blk"), col("bval"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("blk", "bval"))
@@ -234,12 +265,14 @@ object Dedup {
    * `lshBits` trades recall vs bucket size; multi-probe via several seeds.
    */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, lshBits: Int = 8, probes: Int = 2): DataFrame = {
+      threshold: Double = 0.95, lshBits: Int = 8, probes: Int = 2,
+      maxBucket: Int = 100000): DataFrame = {
     val base = df.select(col(idCol).as("id"), Vectors.normalize(col(vecCol)).as("v"))
-    val bucketed = base.select(col("id"), col("v"),
+    val bucketed0 = base.select(col("id"), col("v"),
       posexplode(array((0 until probes).map(s =>
         Vectors.signBits(col("v"), lshBits, seed = 42 + s)): _*)))
       .withColumnRenamed("pos", "probe").withColumnRenamed("col", "bucket")
+    val bucketed = capBuckets(bucketed0, Seq("probe", "bucket"), maxBucket)
     val a = bucketed.select(col("probe"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("probe"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("probe", "bucket"))

@@ -195,6 +195,42 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("bucket caps bound degenerate corpora; generous caps change nothing on normal ones") {
+    val spark0 = spark
+    import spark0.implicits._
+    // degenerate: 2000 identical docs — every (band,bucket) is one hot bucket
+    // of 2000 rows (2M candidate pairs per band without a cap)
+    val template = mkText(7)
+    val degenerate = (0 until 2000).map(i => (i.toLong, template)).toDF("id", "text")
+      .repartition(8)
+    val capped = graft.ops.Dedup.minhashNearDups(degenerate, "id", "text",
+      numHashes = 32, bands = 8, threshold = 0.9, maxBucket = 100)
+    // all buckets overflow → no candidates survive (exact-dup mass is
+    // exactDedup's job, per the Manku pipeline ordering); the point is the
+    // job completes with bounded work instead of going quadratic
+    assert(capped.count() === 0)
+    val banded = degenerate.select(col("id"), lit(0).as("band"),
+      graft.functions.HashExpressions
+        .minhashSignatureNative(graft.ops.Dedup.shingleHashes(col("text"), 3), 32)
+        .getItem(0).as("bucket"))
+    val overflow = graft.ops.Dedup.overflowBuckets(banded, Seq("band", "bucket"), 100)
+    assert(overflow.count() === 1)
+    assert(overflow.collect()(0).getAs[Long]("bucket_size") === 2000L)
+
+    // simhash: same degenerate corpus, capped → completes with 0 pairs
+    assert(graft.ops.Dedup.simhashNearDups(degenerate, "id", "text",
+      maxHamming = 3, maxBucket = 100).count() === 0)
+
+    // normal corpus: a generous cap must not change the result set
+    val df = corpus(40)
+    val un = Dedup.minhashNearDups(df, "id", "text", numHashes = 32, bands = 8,
+      threshold = 0.9, maxBucket = 0).select("id_a", "id_b")
+    val cp = Dedup.minhashNearDups(df, "id", "text", numHashes = 32, bands = 8,
+      threshold = 0.9, maxBucket = 1000).select("id_a", "id_b")
+    assert(un.exceptAll(cp).count() === 0)
+    assert(cp.exceptAll(un).count() === 0)
+  }
+
   test("minhashNearDups leaves no pinned cache behind (lifecycle)") {
     val df = corpus(30)
     val out = Dedup.minhashNearDups(df, "id", "text", numHashes = 32, bands = 8, threshold = 0.9)
