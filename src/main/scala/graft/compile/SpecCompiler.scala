@@ -381,16 +381,72 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
   /**
    * Defaults materialization — an output-stage projection, exactly like the
    * reference (`C.resolve_defaults` set only for output, `src/convert.ml:316-324`).
+   *
+   * RECURSIVE, mirroring `parse_optional_field` → `parse_default`
+   * (`piqobj_of_json.ml:210-216`, `piqobj_common.ml:54-60`): defaults apply
+   * at every depth — inside nested records and inside elements of repeated
+   * fields — by rebuilding only the structs that actually contain defaults
+   * (an untouched subtree keeps its original column expression and physical
+   * type). A missing (null) nested record stays missing — defaults fill
+   * fields of PRESENT records, they do not conjure the record itself.
    */
   def withDefaults(df: DataFrame): DataFrame = {
     val cols = rootRecord.fields.map { f =>
-      f.mode match {
-        case Optional(Some(d)) => coalesce(col(f.name), lit(d)).as(f.name)
-        case Repeated => coalesce(col(f.name), array().cast(df.schema(f.name).dataType)).as(f.name)
-        case _ => col(f.name)
-      }
+      val dt = df.schema.find(_.name == f.name).map(_.dataType)
+      defaultizeField(col(f.name), f, dt, rootRepeatedToEmpty = true).as(f.name)
     }
     df.select(cols: _*)
+  }
+
+  /** Does this type contain any optional-with-default field at any depth? */
+  private def typeHasDefaults(t: PiqiType, seen: Set[String] = Set.empty): Boolean = t match {
+    case TypeRef(n) if !seen(n) => spec.defTable(n) match {
+      case RecordDef(_, fs) => fs.exists(f => (f.mode match {
+        case Optional(Some(_)) => true
+        case _ => false
+      }) || typeHasDefaults(f.tpe, seen + n))
+      case ListDef(_, e, _) => typeHasDefaults(e, seen + n)
+      case AliasDef(_, target, _) => typeHasDefaults(target, seen + n)
+      case VariantDef(_, os) => os.exists(_.tpe.exists(typeHasDefaults(_, seen + n)))
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def defaultizeField(c: Column, f: PField, dt: Option[DataType],
+      rootRepeatedToEmpty: Boolean): Column = f.mode match {
+    case Optional(Some(d)) => coalesce(defaultizeValue(c, f.tpe, dt), lit(d))
+    case Repeated =>
+      val elemDt = dt.collect { case ArrayType(e, _) => e }
+      val applied =
+        if (typeHasDefaults(f.tpe)) transform(c, e => defaultizeValue(e, f.tpe, elemDt))
+        else c
+      // absent repeated ≡ empty on output (`piqobj_of_json.ml:221-229`)
+      dt match {
+        case Some(t) if rootRepeatedToEmpty => coalesce(applied, array().cast(t))
+        case _ => applied
+      }
+    case _ => defaultizeValue(c, f.tpe, dt)
+  }
+
+  private def defaultizeValue(c: Column, t: PiqiType, dt: Option[DataType]): Column = {
+    val (base, _) = unalias(t)
+    base match {
+      case TypeRef(_) if typeHasDefaults(base) => resolveDef(base) match {
+        case Some(RecordDef(_, fields)) =>
+          val st = dt.collect { case s: StructType => s }
+          val rebuilt = struct(fields.map { f2 =>
+            val fdt = st.flatMap(_.find(_.name == f2.name)).map(_.dataType)
+            defaultizeField(c.getField(f2.name), f2, fdt, rootRepeatedToEmpty = true).as(f2.name)
+          }: _*)
+          when(c.isNull, lit(null)).otherwise(rebuilt)
+        case Some(ListDef(_, elem, _)) =>
+          val elemDt = dt.collect { case ArrayType(e, _) => e }
+          transform(c, e => defaultizeValue(e, elem, elemDt))
+        case _ => c
+      }
+      case _ => c
+    }
   }
 
   /** Debug dump — the analog of `piqi expand` (`src/expand.ml:55-77`). */

@@ -49,8 +49,10 @@ object Convert {
    * (`piqilib/piqobj_of_json.ml`):
    *  - unparseable JSON → `parse:json` violation (reference raises a
    *    located error; we collect);
-   *  - unknown top-level keys → warning normally, violation iff
-   *    `spec.strict` (`piqobj_of_json.ml:31-37`, flag `src/convert.ml:499`);
+   *  - key-shape checks at EVERY record level via [[JsonShape.checkKeys]]:
+   *    unknown keys (violation iff `spec.strict`, `piqobj_of_json.ml:31-37`,
+   *    flag `src/convert.ml:499`), duplicate keys (always,
+   *    `piqobj_of_json.ml:25-28`), object/array shape mismatches;
    *  - then the full compiled constraint pass.
    *
    * Returns the parsed columns + `violations` + `valid`.
@@ -58,7 +60,6 @@ object Convert {
   def fromJson(jsonDf: DataFrame, jsonCol: String, spec: Spec): DataFrame = {
     val plan = SpecCompiler.compile(spec)
     val schema = sparkSchema(spec)
-    val knownKeys = schema.fields.map(_.name).toSeq
     val parsed = jsonDf
       .withColumn("_rec", from_json(col(jsonCol), schema))
       .withColumn("_keys", json_object_keys(col(jsonCol)))
@@ -67,21 +68,15 @@ object Convert {
       col(jsonCol).isNotNull && col("_keys").isNull,
       "parse:json", "$", col(jsonCol))
 
-    val unknown = filter(coalesce(col("_keys"), array().cast(ArrayType(StringType))),
-      k => !k.isin(knownKeys: _*))
-    val unknownVio =
-      if (spec.strict)
-        SpecCompiler.vio(size(unknown) > 0, "unknown-field", "$",
-          concat_ws(",", unknown))
-      else SpecCompiler.emptyVio
+    val shapeVio = JsonShape.checkKeys(col(jsonCol), spec)
 
     val flat = parsed.select(
       (schema.fields.map(f => col(s"_rec.${f.name}").as(f.name)) :+
-        col(jsonCol).as("_raw") :+ parseVio.as("_pv") :+ unknownVio.as("_uv")): _*)
+        col(jsonCol).as("_raw") :+ parseVio.as("_pv") :+ shapeVio.as("_sv")): _*)
     flat
-      .withColumn("violations", concat(col("_pv"), col("_uv"), plan.violations))
+      .withColumn("violations", concat(col("_pv"), col("_sv"), plan.violations))
       .withColumn("valid", size(col("violations")) === 0)
-      .drop("_pv", "_uv")
+      .drop("_pv", "_sv")
   }
 
   /**

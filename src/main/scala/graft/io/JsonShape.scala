@@ -1,0 +1,146 @@
+package graft.io
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.compile.SpecCompiler
+import graft.spec._
+
+/**
+ * Recursive JSON key-shape checks — the full `piqobj_of_json` record-walk
+ * semantics, applied at EVERY record level, not just the root:
+ *
+ *  - unknown keys: warning normally, violation when `spec.strict`
+ *    (`/root/reference/piqilib/piqobj_of_json.ml:29-37` `handle_unknown_field`,
+ *    called per record level from `do_parse_record` ~:155-161);
+ *  - duplicate keys: always a violation (the reference errors on duplicate
+ *    fields, `piqobj_of_json.ml:25-28`, used at ~:197,216);
+ *  - shape mismatches: a record field whose value is not a JSON object →
+ *    `parse:object-expected`; a repeated/list field whose value is not an
+ *    array → `parse:array-expected` ("array expected",
+ *    `piqobj_of_json.ml:221-229`).
+ *
+ * Mechanism (pure built-in columns, no UDFs): at each level the object's
+ * raw JSON substring is inspected with `json_object_keys` (which KEEPS
+ * duplicate keys) and split into per-key raw-value strings via
+ * `from_json(.., map<string,string>)` — Spark captures non-string values as
+ * their raw JSON text, so nested records/arrays recurse on the captured
+ * substring. Array elements are stamped with their index in the violation
+ * path (`spans[2].meta`), mirroring the validators' path convention.
+ * Recursion depth is bounded by the spec (cycles are rejected at compile,
+ * SpecChecks A5).
+ */
+object JsonShape {
+
+  private val strMap = MapType(StringType, StringType)
+  private val strArr = ArrayType(StringType)
+
+  /** All key-shape violations for a JSON document string against a spec. */
+  def checkKeys(jsonCol: Column, spec0: Spec): Column = {
+    val spec = spec0.resolved
+    val root = spec.defTable(spec.root) match {
+      case r: RecordDef => r
+      case other => throw new SpecException(s"root must be a record, got $other")
+    }
+    objectVios(jsonCol, root.fields.map(f => f.name -> f.tpe).toMap,
+      root.fields.collect { case f if f.mode == Repeated => f.name }.toSet,
+      "$", spec)
+  }
+
+  /** Violations for one object level: key checks + recursion into values. */
+  private def objectVios(objStr: Column, fieldTypes: Map[String, PiqiType],
+      repeatedFields: Set[String], path: String, spec: Spec): Column = {
+    val keys = json_object_keys(objStr)
+    val keysOrEmpty = coalesce(keys, array().cast(strArr))
+    val knownKeys = fieldTypes.keys.toSeq
+
+    val unknown = filter(keysOrEmpty, k => !k.isin(knownKeys: _*))
+    val unknownVio =
+      if (spec.strict)
+        SpecCompiler.vio(size(unknown) > 0, "unknown-field", path, concat_ws(",", unknown))
+      else SpecCompiler.emptyVio
+
+    val dupKeys = filter(array_distinct(keysOrEmpty),
+      k => size(filter(keysOrEmpty, x => x === k)) > 1)
+    val dupVio = SpecCompiler.vio(size(dupKeys) > 0, "duplicate-field", path,
+      concat_ws(",", dupKeys))
+
+    val m = from_json(objStr, strMap)
+    val subVios: Seq[Column] = fieldTypes.toSeq.sortBy(_._1).map { case (name, tpe) =>
+      valueVios(element_at(m, name), tpe, repeated = repeatedFields(name),
+        s"$path.$name", spec)
+    }
+    SpecCompiler.concatVios(unknownVio +: dupVio +: subVios)
+  }
+
+  /** Violations for one raw value string of declared type `tpe`. */
+  private def valueVios(valStr: Column, tpe: PiqiType, repeated: Boolean,
+      path: String, spec: Spec): Column = {
+    val present = valStr.isNotNull && trim(valStr) =!= "null" // JSON null ≡ missing (B5)
+    if (repeated) arrayVios(valStr, present, tpe, path, spec)
+    else unalias(tpe, spec) match {
+      case TypeRef(n) => spec.defTable(n) match {
+        case RecordDef(_, fields) =>
+          recordValueVios(valStr, present, fields, path, spec)
+        case VariantDef(_, options) =>
+          // variant object: option names are the only legal keys; recurse
+          // into record-typed option payloads
+          val types = options.map(o => o.name -> o.tpe.getOrElse(PBool)).toMap
+          val shape = SpecCompiler.vio(present && json_object_keys(valStr).isNull,
+            "parse:object-expected", path, valStr)
+          concat(shape, when(present && json_object_keys(valStr).isNotNull,
+            objectVios(valStr, types, Set.empty, path, spec))
+            .otherwise(SpecCompiler.emptyVio))
+        case ListDef(_, elem, _) =>
+          arrayVios(valStr, present, elem, path, spec)
+        case _ => SpecCompiler.emptyVio // enums/aliased scalars: no key shape
+      }
+      case _ => SpecCompiler.emptyVio // scalar: value checks are the compiler's job
+    }
+  }
+
+  private def recordValueVios(valStr: Column, present: Column, fields: Seq[PField],
+      path: String, spec: Spec): Column = {
+    val shape = SpecCompiler.vio(present && json_object_keys(valStr).isNull,
+      "parse:object-expected", path, valStr)
+    val inner = when(present && json_object_keys(valStr).isNotNull,
+      objectVios(valStr, fields.map(f => f.name -> f.tpe).toMap,
+        fields.collect { case f if f.mode == Repeated => f.name }.toSet, path, spec))
+      .otherwise(SpecCompiler.emptyVio)
+    concat(shape, inner)
+  }
+
+  /** Array value: shape check + per-element recursion with index-stamped paths. */
+  private def arrayVios(valStr: Column, present: Column, elemType: PiqiType,
+      path: String, spec: Spec): Column = {
+    val elems = from_json(valStr, strArr)
+    val shape = SpecCompiler.vio(present && elems.isNull,
+      "parse:array-expected", path, valStr)
+    // only recurse when elements can themselves have key shape
+    val needsRecursion = unalias(elemType, spec) match {
+      case TypeRef(n) => spec.defTable(n) match {
+        case _: RecordDef | _: VariantDef | _: ListDef => true
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!needsRecursion) shape
+    else {
+      val stamped = transform(coalesce(elems, array().cast(strArr)), (e, i) =>
+        transform(valueVios(e, elemType, repeated = false, path, spec), v =>
+          struct(v.getField("rule").as("rule"),
+            concat(lit(path), lit("["), i.cast(StringType), lit("]"),
+              substring(v.getField("path"), path.length + 1, 1000000)).as("path"),
+            v.getField("detail").as("detail"))))
+      concat(shape, flatten(stamped))
+    }
+  }
+
+  private def unalias(t: PiqiType, spec: Spec): PiqiType = t match {
+    case TypeRef(n) => spec.defTable(n) match {
+      case AliasDef(_, target, _) => unalias(target, spec)
+      case _ => t
+    }
+    case _ => t
+  }
+}

@@ -159,6 +159,78 @@ class PipelineSpec extends SparkTestBase {
     assert(strictMap(rows(2)) === Set("unknown-field"))
   }
 
+  test("JSON ingest: recursive unknown/duplicate keys + shape mismatches at nested levels") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(
+      """{"doc_id":"doc-1","spans":[{"kind":"text","text":"a","offset":0,"bogus":1}]}""",
+      """{"doc_id":"doc-2","spans":[{"kind":"text","text":"a","offset":0,"offset":1}]}""",
+      """{"doc_id":"doc-3","spans":"nope"}""",
+      """{"doc_id":"doc-4","spans":[42]}""",
+      """{"doc_id":"doc-5","doc_id":"doc-5b","spans":[]}""",
+      """{"doc_id":"doc-6","spans":[{"kind":"text","text":"a","offset":0}]}""")
+    val df = rows.toDF("json")
+
+    def vioMap(spec: graft.spec.Spec) =
+      Convert.fromJson(df, "json", spec)
+        .select(col("_raw"), col("violations")).collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(v => (v.getString(0), v.getString(1))).toSet)
+        .toMap
+
+    // lax: nested unknown keys tolerated (reference warns); dups still error
+    val lax = vioMap(Docs.docSpec)
+    assert(lax(rows(0)) === Set.empty)
+    assert(lax(rows(1)) === Set(("duplicate-field", "$.spans[0]")))
+    assert(lax(rows(2)) === Set(("parse:array-expected", "$.spans")))
+    assert(lax(rows(3)).contains(("parse:object-expected", "$.spans[0]")))
+    assert(lax(rows(4)) === Set(("duplicate-field", "$")))
+    assert(lax(rows(5)) === Set.empty)
+
+    // strict: nested unknown key flagged at its own path
+    val strict = vioMap(Docs.docSpec.copy(strict = true))
+    assert(strict(rows(0)) === Set(("unknown-field", "$.spans[0]")))
+    assert(strict(rows(5)) === Set.empty)
+  }
+
+  test("withDefaults: recursive — nested records and repeated elements (A6 nested)") {
+    import graft.spec._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val spec = Spec("m", Seq(
+      RecordDef("inner", Seq(
+        PField("x", PString, Optional(Some("dx"))),
+        PField("y", PInt(0, 100), Required))),
+      RecordDef("r", Seq(
+        PField("id", PString, Required),
+        PField("nest", TypeRef("inner"), Optional()),
+        PField("items", TypeRef("inner"), Repeated)))), "r")
+    val plan = SpecCompiler.compile(spec)
+    val innerT = StructType(Seq(StructField("x", StringType), StructField("y", LongType)))
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("nest", innerT),
+      StructField("items", ArrayType(innerT))))
+    val df = spark.createDataFrame(Seq(
+      Row("a", Row(null, 1L), Seq(Row(null, 2L), Row("set", 3L))),
+      Row("b", null, null)).asJava, schema)
+    val out = plan.withDefaults(df)
+    // rebuild must not change physical types (nullability may tighten via coalesce)
+    assert(out.schema.map(f => (f.name, f.dataType.catalogString)) ===
+      schema.map(f => (f.name, f.dataType.catalogString)))
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getStruct(1).getString(0) === "dx") // nested record default applied
+    assert(a.getStruct(1).getLong(1) === 1L)
+    val items = a.getSeq[Row](2)
+    assert(items(0).getString(0) === "dx") // default inside repeated element
+    assert(items(1).getString(0) === "set") // present value untouched
+    val b = rows("b")
+    assert(b.isNullAt(1)) // missing nested record stays missing
+    assert(b.getSeq[Row](2) === Seq.empty) // absent repeated ≡ empty
+  }
+
   test("toJson: omit-missing and add-defaults semantics (B4/B20/D1)") {
     val spark0 = spark
     import spark0.implicits._
