@@ -14,6 +14,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** documents ∪ re-keyed copies of docs 0..49 — the dedup-query corpus. */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
   /**
    * Validation spec for the driver's `documents` table
    * (doc_id:int64, text, lang, source, n_chars) — the flat-table analog of
@@ -181,24 +189,54 @@ object SparkEntry {
       graft.ops.Dedup.exactDupGroups(withDups, "text").orderBy("content_hash")
     }),
 
-    // MinHash+LSH near-dup pairs (banded signatures; no SQL equivalent)
+    // MinHash+LSH end-to-end with a DETERMINISTIC verified result: word-set
+    // MinHash (shingleSize=1) generates candidates, then exact distinct-
+    // token-set equality verifies. Equal token sets ⇒ equal signatures ⇒
+    // collide in every band, so recall is provably 1.0 and the result set
+    // equals the SQL-expressible "pairs with equal word sets" — a real
+    // DuckDB oracle over the whole LSH machinery.
     "d_minhash_dups" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val withDups = docs.select(col("doc_id"), col("text"))
-        .union(docs.where(col("doc_id") < 50)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      graft.ops.Dedup.minhashNearDups(withDups, "doc_id", "text",
+      val withDups = dupCorpus(s, dir)
+      val cands = graft.ops.Dedup.minhashNearDups(withDups, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleSize = 1, threshold = 1.0)
+      val toks = withDups.select(col("doc_id"),
+        array_sort(array_distinct(graft.functions.Text.tokens(col("text")))).as("tk"))
+      cands
+        .join(toks.select(col("doc_id").as("id_a"), col("tk").as("tk_a")), "id_a")
+        .join(toks.select(col("doc_id").as("id_b"), col("tk").as("tk_b")), "id_b")
+        .where(col("tk_a") === col("tk_b"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the approximate near-dup behavior itself (threshold on signature
+    // similarity — not SQL-expressible; recall covered by DedupSpec)
+    "d_minhash_near" -> ((s, dir) => {
+      graft.ops.Dedup.minhashNearDups(dupCorpus(s, dir), "doc_id", "text",
           numHashes = 32, bands = 8, threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pairs via Manku block bucketing (no SQL equivalent)
+    // SimHash end-to-end with a DETERMINISTIC verified result: Manku block
+    // bucketing generates candidates, exact token-multiset equality
+    // verifies. Equal multisets ⇒ equal simhash ⇒ hamming 0 ⇒ all blocks
+    // shared, so recall is provably 1.0 → DuckDB-reproducible.
     "d_simhash_dups" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val withDups = docs.select(col("doc_id"), col("text"))
-        .union(docs.where(col("doc_id") < 50)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      graft.ops.Dedup.simhashNearDups(withDups, "doc_id", "text", maxHamming = 3)
+      val withDups = dupCorpus(s, dir)
+      val cands = graft.ops.Dedup.simhashNearDups(withDups, "doc_id", "text", maxHamming = 3)
+      val toks = withDups.select(col("doc_id"),
+        array_sort(graft.functions.Text.tokens(col("text"))).as("tk"))
+      cands
+        .join(toks.select(col("doc_id").as("id_a"), col("tk").as("tk_a")), "id_a")
+        .join(toks.select(col("doc_id").as("id_b"), col("tk").as("tk_b")), "id_b")
+        .where(col("tk_a") === col("tk_b"))
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the approximate hamming<=3 behavior (not SQL-expressible)
+    "d_simhash_near" -> ((s, dir) => {
+      graft.ops.Dedup.simhashNearDups(dupCorpus(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -219,6 +257,18 @@ object SparkEntry {
     "d_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").where(col("vec_id") < 200)
       graft.ops.Dedup.embeddingNearDupsExact(e, "vec_id", "embedding", 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // embedding near-dups via the SCALABLE bucketed path (sign-bit LSH +
+    // multiprobe seeds), driven against the same exact-crossJoin oracle —
+    // bits/probes chosen so recall is 1.0 on this data (asserted by the
+    // oracle equality itself; AnnRecallSpec covers the recall math)
+    "d_embed_neardup_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 200)
+      graft.ops.Dedup.embeddingNearDups(e, "vec_id", "embedding",
+          threshold = 0.35, lshBits = 1, probes = 8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -285,8 +335,21 @@ object SparkEntry {
         .orderBy("mime", "ok")
     }),
 
-    // drift: two-sample KS over t-digest sketches (no SQL equivalent)
+    // drift: EXACT two-sample KS (distributed per-value counts + cumulative
+    // window over distinct values) — SQL-expressible, DuckDB-oracled
     "v_drift_ks" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .withColumn("grp", when(col("o_orderstatus") === "F", "a").otherwise("b"))
+      val r = graft.exec.Drift.ksTestExact(orders, "o_totalprice", "grp", "a", "b")
+      Seq((r.statistic, r.n1.toLong, r.n2.toLong))
+        .toDF("statistic", "n1", "n2")
+    }),
+
+    // drift: sketch-based KS (t-digest) — the unbounded-scale path; its
+    // statistic is approximate, so the exact form above is its oracle-side
+    // twin rather than a DuckDB query
+    "v_drift_ks_sketch" -> ((s, dir) => {
       import s.implicits._
       val orders = t(s, dir, "orders")
         .withColumn("grp", when(col("o_orderstatus") === "F", "a").otherwise("b"))
@@ -482,6 +545,65 @@ object SparkEntry {
         | CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','value','data'))) AS BIGINT) AS n_stop,
         | round(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','value','data')))::DOUBLE
         |   / len(string_split(text, ' ')), 6) AS stop_ratio
-        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // pairs with equal distinct word sets == the provable-recall minhash result
+    "d_minhash_dups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+        | WHERE list_sort(list_distinct(string_split(a.text, ' ')))
+        |     = list_sort(list_distinct(string_split(b.text, ' ')))
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+
+    // pairs with equal token multisets == the provable-recall simhash result
+    "d_simhash_dups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+        | FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+        | WHERE list_sort(string_split(a.text, ' ')) = list_sort(string_split(b.text, ' '))
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+
+    // the bucketed LSH path must reproduce the exact crossJoin result
+    "d_embed_neardup_lsh" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE a.vec_id < 200 AND b.vec_id < 200
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+
+    // exact two-sample KS via cumulative per-distinct-value counts (window cdf)
+    "v_drift_ks" ->
+      """WITH v AS (SELECT o_totalprice AS x,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'a' ELSE 'b' END AS g FROM orders),
+        | c AS (SELECT x,
+        |    SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS c2 FROM v GROUP BY x),
+        | n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c),
+        | cum AS (SELECT SUM(c1) OVER (ORDER BY x) AS f1,
+        |    SUM(c2) OVER (ORDER BY x) AS f2 FROM c)
+        | SELECT max(abs(f1::DOUBLE / n1 - f2::DOUBLE / n2)) AS statistic,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+        | FROM cum, n GROUP BY n1, n2""".stripMargin.replace("\n", " "),
+
+    // language-ID: stopword-count argmax, tie-broken by larger lang code
+    // (mirrors greatest(struct(score, lang)) semantics)
+    "t_langid" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        | scores AS (
+        |  SELECT doc_id, 'de' AS l, len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s FROM toks
+        |  UNION ALL SELECT doc_id, 'en', len(list_filter(t, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) FROM toks
+        |  UNION ALL SELECT doc_id, 'es', len(list_filter(t, x -> x IN ('el','la','los','y','es','un','una','de','que','por'))) FROM toks
+        |  UNION ALL SELECT doc_id, 'fr', len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))) FROM toks
+        |  UNION ALL SELECT doc_id, 'zh', len(list_filter(t, x -> x IN ('的','是','在','了','和','有','我','不','这','他'))) FROM toks),
+        | best AS (SELECT doc_id, l, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l DESC) AS rn FROM scores)
+        | SELECT doc_id, CASE WHEN s > 0 THEN l ELSE 'und' END AS lang_guess
+        | FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 }

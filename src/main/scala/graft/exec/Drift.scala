@@ -95,6 +95,39 @@ object Drift {
     KsResult(g1, g2, d, ksPValue(d, a.totalWeight, b.totalWeight), a.totalWeight, b.totalWeight)
   }
 
+  /**
+   * EXACT two-sample KS over a numeric column between two groups: D is the
+   * sup over observed values x of |F₁(x) − F₂(x)| computed from cumulative
+   * per-distinct-value counts. The per-value aggregation is fully
+   * distributed (partial-agg groupBy); the cumulative step is a global-order
+   * window over DISTINCT values — a single task over the distinct-value set,
+   * so this is the bounded-cardinality / audit path. [[ksTest]] (t-digest
+   * sketches) is the unbounded-scale path; this exact form is its oracle.
+   */
+  def ksTestExact(df: DataFrame, valueCol: String, groupCol: String,
+      g1: String, g2: String): KsResult = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .where(col(groupCol).cast("string").isin(g1, g2) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("x"))
+      .agg(
+        sum(when(col(groupCol).cast("string") === g1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol).cast("string") === g2, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val row = counts
+      .select(sum("c1").over(w).as("f1"), sum("c2").over(w).as("f2"))
+      .agg(max(col("f1")).as("n1"), max(col("f2")).as("n2"),
+        // D needs n1/n2 first; compute via a second pass below
+        count(lit(1)).as("_k"))
+      .collect()(0)
+    val (n1, n2) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    val d = counts
+      .select((sum("c1").over(w).cast("double") / n1 -
+        sum("c2").over(w).cast("double") / n2).as("diff"))
+      .agg(max(abs(col("diff")))).collect()(0).getDouble(0)
+    KsResult(g1, g2, d, ksPValue(d, n1, n2), n1, n2)
+  }
+
   final case class Chi2Result(statistic: Double, dof: Int, pValue: Double)
 
   /**

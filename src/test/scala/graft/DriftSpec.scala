@@ -121,4 +121,22 @@ class DriftSpec extends SparkTestBase {
     assert(d.totalWeight === 3.0)
     assert(math.abs(d.quantile(0.5) - 2.0) < 1e-9)
   }
+
+  test("ksTestExact matches hand computation and bounds the sketch approximation") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(2.0, 3.0, 4.0).map(("b", _)))
+      .toDF("g", "x")
+    val r = Drift.ksTestExact(df, "x", "g", "a", "b")
+    // F_a = (1/3, 2/3, 1, 1) and F_b = (0, 1/3, 2/3, 1) at x = 1,2,3,4 -> D = 1/3
+    assert(math.abs(r.statistic - 1.0 / 3.0) < 1e-12)
+    assert(r.n1 === 3.0 && r.n2 === 3.0)
+
+    // on a larger sample the t-digest sketch statistic must approximate the exact one
+    val big = (lcg(4000, 1).map(("a", _)) ++ lcg(4000, 2).map(x => ("b", x + 0.2))).toDF("g", "x")
+    val exact = Drift.ksTestExact(big, "x", "g", "a", "b")
+    val approx = Drift.ksTest(big, "x", "g", "a", "b")
+    assert(math.abs(exact.statistic - approx.statistic) < 0.03,
+      s"exact=${exact.statistic} sketch=${approx.statistic}")
+  }
 }
