@@ -149,7 +149,7 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
     val (base, aliasCs) = unalias(t)
     val aliasVios = constraintVios(e, c, path, aliasCs)
     val ownVios: Seq[R] = base match {
-      case PBool | PFloat | PString | PBinary | PAny => Nil
+      case PBool | PFloat | PFloat32 | PString | PBinary | PAny => Nil
       case PInt(lo, hi) =>
         // range checks the reference documents but does not enforce
         // (doc/tools.md:490-493); we enforce (SURVEY.md B9)
@@ -220,11 +220,12 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
       e.combine(valueVios(e, elem, x, path) ++ constraintVios(e, x, path, elemCs)))
 
   /** Cross-field / ordering rules (north-rule additions, SURVEY.md §2.D). */
-  private def rowRuleVios[R](e: Emitter[R], r: RowRule): Seq[R] = r match {
-    case ExactlyOneOf(name, paths) => oneOfVios(e, name, paths, exact = true)
-    case AtMostOneOf(name, paths) => oneOfVios(e, name, paths, exact = false)
+  private def rowRuleVios[R](e: Emitter[R], r: RowRule,
+      resolve: String => Column = col): Seq[R] = r match {
+    case ExactlyOneOf(name, paths) => oneOfVios(e, name, paths, exact = true, resolve)
+    case AtMostOneOf(name, paths) => oneOfVios(e, name, paths, exact = false, resolve)
     case StrictlyIncreasing(name, arrayPath, field) =>
-      val arr = col(arrayPath)
+      val arr = resolve(arrayPath)
       // pair each element with its successor; any non-increase violates
       val bad = zip_with(arr, slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
         (cur, nxt) => nxt.isNotNull && nxt.getField(field) <= cur.getField(field))
@@ -232,7 +233,8 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
         lit(s"$field must be strictly increasing")))
   }
 
-  private def oneOfVios[R](e: Emitter[R], name: String, paths: Seq[String], exact: Boolean): Seq[R] = {
+  private def oneOfVios[R](e: Emitter[R], name: String, paths: Seq[String], exact: Boolean,
+      resolve: String => Column = col): Seq[R] = {
     // distinct rule ids: "exactly-one" vs "at-most-one" (reports must not
     // conflate the two row-rule kinds)
     val ruleId = if (exact) s"exactly-one:$name" else s"at-most-one:$name"
@@ -243,14 +245,14 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
     if (arrayPrefixes.size == paths.size && arrayPrefixes.map(_._1).distinct.size == 1) {
       val arrName = arrayPrefixes.head._1
       val subFields = arrayPrefixes.map(_._2)
-      Seq(e.fromArray(col(arrName), arrName, (x, _) => {
+      Seq(e.fromArray(resolve(arrName), arrName, (x, _) => {
         val cnt = subFields.map(f => x.getField(f).isNotNull.cast(IntegerType)).reduce(_ + _)
         val bad = if (exact) cnt =!= 1 else cnt > 1
         e.emit(bad, ruleId, arrName,
           concat_ws(",", subFields.map(f => when(x.getField(f).isNotNull, lit(f))): _*))
       }))
     } else {
-      val cols = paths.map(p => col(p))
+      val cols = paths.map(p => resolve(p))
       val cnt = cols.map(_.isNotNull.cast(IntegerType)).reduce(_ + _)
       val bad = if (exact) cnt =!= 1 else cnt > 1
       Seq(e.emit(bad, ruleId, paths.mkString("|"),
@@ -266,14 +268,24 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
     case other => throw new SpecException(s"root '${spec.root}' must be a record, got $other")
   }
 
-  private def rootWalk[R](e: Emitter[R]): R = {
-    val fieldRs = rootRecord.fields.flatMap(f => fieldVios(e, f, col(f.name), f.name, lit(true)))
-    val ruleRs = spec.rowRules.flatMap(r => rowRuleVios(e, r))
+  private def rootWalk[R](e: Emitter[R], resolve: String => Column = col): R = {
+    val fieldRs = rootRecord.fields.flatMap(f =>
+      fieldVios(e, f, resolve(f.name), f.name, lit(true)))
+    val ruleRs = spec.rowRules.flatMap(r => rowRuleVios(e, r, resolve))
     e.combine(fieldRs ++ ruleRs)
   }
 
   /** Exact violation details: `array<struct<rule,path,detail>>` (report path). */
   lazy val violations: Column = rootWalk(DetailEmitter).as("violations")
+
+  /** [[violations]] evaluated over a STRUCT column holding the root record
+    * (e.g. a `from_json`-parsed piqi-any payload) instead of top-level
+    * columns. Top-level row-rule paths resolve inside the struct. */
+  def violationsFor(rec: Column): Column = {
+    def resolve(path: String): Column =
+      path.split("\\.").foldLeft(rec)((c, seg) => c.getField(seg))
+    rootWalk(DetailEmitter, resolve)
+  }
 
   // ---------- native fast path for the count form ----------
 
@@ -301,7 +313,7 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
           b2 match {
             case PInt(lo, hi) =>
               if (lo != Long.MinValue || hi != Long.MaxValue) rules += RuleRange(f2.name, lo, hi)
-            case PBool | PFloat | PString | PBinary | PAny => ()
+            case PBool | PFloat | PFloat32 | PString | PBinary | PAny => ()
             case TypeRef(_) => resolveDef(b2) match {
               case Some(EnumDef(_, opts)) => rules += RuleInSet(f2.name, opts)
               case _ => return None // nested records/variants/lists → generic

@@ -21,6 +21,7 @@ object Convert {
       case PBool => BooleanType
       case _: PInt => LongType
       case PFloat => DoubleType
+      case PFloat32 => FloatType
       case PString => StringType
       case PBinary => BinaryType
       case PAny => StringType // raw JSON capture, parsed lazily (piqobj.ml:267-318 analog)
@@ -77,6 +78,70 @@ object Convert {
       .withColumn("violations", concat(col("_pv"), col("_sv"), plan.violations))
       .withColumn("valid", size(col("violations")) === 0)
       .drop("_pv", "_sv")
+  }
+
+  /**
+   * Validate `piqi-any` payloads against their per-row typename — the
+   * analog of the reference's lazy cross-conversion of `Any` values against
+   * a registered type (`/root/reference/piqilib/piqobj.ml:267-401`, resolved
+   * through the module db like `piqi_db.find_piqtype`): each row carries a
+   * raw JSON payload (`anyCol`) and a type name (`typeCol`); the payload is
+   * parsed and validated against the named spec from `registry`.
+   *
+   * Returns the input columns + `any_violations` + `any_valid`. Unknown
+   * typenames yield an `unknown-type` violation (`piqi_db.ml:149-153`).
+   * Execution shape: one filtered validate pass per registered type,
+   * unioned — each pass is a narrow projection, so the job stays one scan
+   * per type with no shuffle.
+   */
+  def validateAny(df: DataFrame, anyCol: String, typeCol: String,
+      registry: Map[String, Spec]): DataFrame = {
+    // ONE case-when projection over all registered types — no per-type scan,
+    // no union, no shuffle: the typename dispatch is a column expression
+    val branches = registry.toSeq.sortBy(_._1).map { case (name, spec) =>
+      val plan = SpecCompiler.compile(spec)
+      val rec = from_json(col(anyCol), sparkSchema(spec))
+      val parseVio = SpecCompiler.vio(
+        col(anyCol).isNotNull && json_object_keys(col(anyCol)).isNull,
+        "parse:json", "$", col(anyCol))
+      val vios = concat(parseVio, JsonShape.checkKeys(col(anyCol), spec),
+        plan.violationsFor(rec))
+      (col(typeCol) === name, vios)
+    }
+    val unknownVio = SpecCompiler.vio(lit(true), "unknown-type", "$",
+      coalesce(col(typeCol), lit("null")))
+    val dispatch = branches.foldRight(unknownVio) { case ((cond, vios), rest) =>
+      when(cond, vios).otherwise(rest)
+    }
+    df.withColumn("any_violations", dispatch)
+      .withColumn("any_valid", size(col("any_violations")) === 0)
+  }
+
+  /**
+   * XML-string ingest with validation — the Spark-4 `from_xml` analog of
+   * the reference's `piqobj_of_xml.ml` input path (342 LoC there; element
+   * nesting ↔ record fields, repeated elements ↔ arrays, `doc/
+   * encodings.md:168-189`). Unparseable XML → `parse:xml` violation, then
+   * the full compiled constraint pass. XML has no duplicate-key notion and
+   * unknown elements are not enumerable through `from_xml`, so key-shape
+   * checks are JSON-only (documented deviation; the reference warns on
+   * unknown XML elements).
+   */
+  def fromXml(xmlDf: DataFrame, xmlCol: String, spec: Spec): DataFrame = {
+    val plan = SpecCompiler.compile(spec)
+    val schema = sparkSchema(spec)
+    val parsed = xmlDf.withColumn("_rec", from_xml(col(xmlCol), schema))
+    // from_xml is PERMISSIVE: garbage input yields an all-null struct
+    val allNull = schema.fields.map(f => col(s"_rec.${f.name}").isNull).reduce(_ && _)
+    val parseVio = SpecCompiler.vio(col(xmlCol).isNotNull && allNull,
+      "parse:xml", "$", col(xmlCol))
+    val flat = parsed.select(
+      (schema.fields.map(f => col(s"_rec.${f.name}").as(f.name)) :+
+        col(xmlCol).as("_raw") :+ parseVio.as("_pv")): _*)
+    flat
+      .withColumn("violations", concat(col("_pv"), plan.violations))
+      .withColumn("valid", size(col("violations")) === 0)
+      .drop("_pv")
   }
 
   /**

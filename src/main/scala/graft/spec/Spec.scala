@@ -33,6 +33,7 @@ object PInt {
   val uint: PInt = PInt(0L, Long.MaxValue)
 }
 case object PFloat extends Primitive  // IEEE754 double, doc/piqi.md:388-389
+case object PFloat32 extends Primitive // IEEE754 single (`float32`, doc/piqi.md:388-389)
 case object PString extends Primitive // UTF-8 validated, piqilib/piqi_utf8.ml:33-67
 /** Byte array; JSON representation base64 (`piqobj_of_json.ml:66-72`). */
 case object PBinary extends Primitive

@@ -231,6 +231,81 @@ class PipelineSpec extends SparkTestBase {
     assert(b.getSeq[Row](2) === Seq.empty) // absent repeated ≡ empty
   }
 
+  test("piqi-any: payloads validate against their per-row typename (B18)") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.spec._
+    val registry = Map(
+      "point" -> Spec("m", Seq(RecordDef("point", Seq(
+        PField("x", PInt(0, 100), Required),
+        PField("y", PInt(0, 100), Required)))), "point"),
+      "tag" -> Spec("m", Seq(RecordDef("tag", Seq(
+        PField("name", PString, Required)))), "tag"))
+    val df = Seq(
+      ("1", "point", """{"x":5,"y":2}"""),
+      ("2", "point", """{"x":500,"y":2}"""),
+      ("3", "tag", """{"name":"a"}"""),
+      ("4", "tag", """{"nope":1}"""),
+      ("5", "mystery", """{}"""),
+      ("6", "point", "not json")).toDF("id", "any_type", "payload")
+    val out = Convert.validateAny(df, "payload", "any_type", registry)
+    assert(out.columns.toSeq ===
+      Seq("id", "any_type", "payload", "any_violations", "any_valid"))
+    val rules = out.select(col("id"), col("any_violations.rule")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(rules("1") === Set.empty)
+    assert(rules("2") === Set("range:x"))
+    assert(rules("3") === Set.empty)
+    assert(rules("4") === Set("missing-field:name"))
+    assert(rules("5") === Set("unknown-type"))
+    assert(rules("6") === Set("parse:json", "missing-field:x", "missing-field:y"))
+  }
+
+  test("XML ingest: parse + validate interleaved docs via from_xml (piqobj_of_xml analog)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(
+      """<doc><doc_id>doc-1</doc_id><spans><kind>text</kind><text>a</text><offset>0</offset></spans><spans><kind>media</kind><media_ref>m-1</media_ref><offset>5</offset></spans></doc>""",
+      """<doc><doc_id>doc-2</doc_id><spans><kind>video</kind><text>x</text><offset>0</offset></spans></doc>""",
+      """this is not xml""")
+    val df = rows.toDF("xml")
+    val out = Convert.fromXml(df, "xml", Docs.docSpec)
+    val m = out.select(col("_raw"), col("violations.rule")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(m(rows(0)) === Set.empty)
+    assert(m(rows(1)) === Set("unknown-enum:spans.kind"))
+    assert(m(rows(2)).contains("parse:xml"))
+    // repeated elements landed as an ordered array
+    val spans = out.where(col("doc_id") === "doc-1").select(col("spans.kind")).collect()(0)
+    assert(spans.getSeq[String](0) === Seq("text", "media"))
+  }
+
+  test("float32 fields and the documented uint64 Long cap (SURVEY §1.2 deviations)") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.spec._
+    val spec = Spec("m", Seq(
+      AliasDef("uint64", PInt.uint),
+      RecordDef("r", Seq(
+        PField("f32", PFloat32, Required, Seq(InRange(0.0, 10.0))),
+        PField("u", TypeRef("uint64"), Required)))), "r")
+    assert(Convert.sparkSchema(spec).fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+      === Seq(("f32", "float"), ("u", "bigint")))
+    val ok = Convert.fromJson(Seq("""{"f32":1.5,"u":123}""").toDF("json"), "json", spec)
+    assert(ok.select(size(col("violations"))).collect()(0).getInt(0) === 0)
+    assert(ok.select(col("f32")).collect()(0).getFloat(0) === 1.5f)
+    val range = Convert.fromJson(Seq("""{"f32":99.0,"u":1}""").toDF("json"), "json", spec)
+    assert(range.select(col("violations.rule")).collect()(0).getSeq[String](0)
+      === Seq("range:f32"))
+    // uint64 beyond Long.MaxValue cannot round-trip (LongType repr): the
+    // value does NOT survive and the row is flagged, never silently wrong
+    val big = Convert.fromJson(
+      Seq("""{"f32":1.0,"u":18446744073709551615}""").toDF("json"), "json", spec)
+    val r = big.select(col("u"), col("violations.rule")).collect()(0)
+    assert(r.isNullAt(0) || r.getLong(0) === Long.MaxValue)
+    if (r.isNullAt(0)) assert(r.getSeq[String](1).nonEmpty)
+  }
+
   test("toJson: omit-missing and add-defaults semantics (B4/B20/D1)") {
     val spark0 = spark
     import spark0.implicits._
