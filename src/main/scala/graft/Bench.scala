@@ -6,8 +6,16 @@ import org.apache.spark.sql.functions._
 /**
  * Per-round benchmark: runs every SparkEntry query on SPARK_GRAFT_SF_DIR
  * and the core validation-throughput probe, printing ONE JSON line.
- * Each query gets one warm-up execution (JIT + codegen cache) before the
- * timed run, so numbers reflect steady state rather than JVM start-up.
+ *
+ * Protocol (this host's hypervisor steals CPU in multi-minute windows, so
+ * single trials are meaningless — see BENCH/BASELINE.md):
+ *  - per query: one warm-up pass (JIT + codegen cache), then THREE timed runs;
+ *    report the min (and median) so one stolen window can't poison a number;
+ *  - throughput probe: best-of-3 at full width;
+ *  - scaling evidence: the same validation job alternated at 8-task and
+ *    full-width parallelism IN THIS JVM (8-partition input bounds active
+ *    cores to 8), efficiency = (thr_full / thr_8) / (width / 8) — the
+ *    sandbox stand-in for the north rule's two-cluster-size criterion.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,6 +32,66 @@ object Bench {
     def timeIt(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    // hypervisor-steal telemetry: this host's effective capacity swings ~5×
+    // between windows; the steal fraction over the bench run lets a reader
+    // judge whether the absolute numbers come from a clean or stolen window
+    def cpuStat(): (Long, Long) = {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      (cols.sum, if (cols.length > 7) cols(7) else 0L) // (total jiffies, steal)
+    }
+    val statStart = cpuStat()
+
+    // constraint-eval throughput probe FIRST, in a clean JVM state: 2M
+    // interleaved docs, count-form validation + summary (the north-rule
+    // metric at bench scale), at two parallelism widths ALTERNATED in this
+    // JVM for the scaling criterion. Running it after the 33-query sweep
+    // measured a JVM polluted by 130+ executed plans (codegen cache, GC
+    // debt, checkpoint blocks) — 465k docs/s there vs 1.74M in a fresh JVM,
+    // same window, same job.
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_DOCS", "4000000").toLong
+    val plan = SparkEntry.docsPlan
+    def validateAll(parts: Int): Unit = {
+      val docs = graft.io.Docs.generate(spark, nDocs, numPartitions = parts,
+        corruptEvery = 1000)
+      graft.exec.ValidationRunner
+        .summary(graft.exec.ValidationRunner.validateCounts(docs, plan), Seq.empty)
+        .collect()
+    }
+    // generation-only control: pure codegen arithmetic, almost no memory
+    // traffic. When the validate numbers collapse but this control doesn't,
+    // the window is bandwidth-throttled by co-tenants (observed: same
+    // validate job 1.74M then 0.50M docs/s 15 min apart, control stable,
+    // raw spin-loops getting all 32 cores, steal% ≈ 1) — the efficiency
+    // figure from such a window understates the engine, not the host's CPUs.
+    def genOnly(parts: Int): Unit = {
+      // hash(spans) forces full doc materialization — a bare count would let
+      // Catalyst prune the spans column and measure nothing
+      graft.io.Docs.generate(spark, nDocs, numPartitions = parts, corruptEvery = 1000)
+        .agg(sum(hash(col("spans")).cast("long"))).collect()
+    }
+    val fullParts = cpus.toInt * 8
+    validateAll(8); validateAll(fullParts); genOnly(8); genOnly(fullParts) // warm-up
+    val t8 = scala.collection.mutable.ArrayBuffer[Double]()
+    val tFull = scala.collection.mutable.ArrayBuffer[Double]()
+    val g8 = scala.collection.mutable.ArrayBuffer[Double]()
+    val gFull = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to 3) {
+      t8 += timeIt(validateAll(8))
+      tFull += timeIt(validateAll(fullParts))
+      g8 += timeIt(genOnly(8))
+      gFull += timeIt(genOnly(fullParts))
+    }
+    val thr8 = nDocs / t8.min
+    val thrFull = nDocs / tFull.min
+    val gen8 = nDocs / g8.min
+    val genFull = nDocs / gFull.min
+    val widthRatio = math.max(1.0, cpus.toInt / 8.0)
+    val efficiency = (thrFull / thr8) / widthRatio
+    val genEfficiency = (genFull / gen8) / widthRatio
+    System.err.println(f"[bench] scaling: 8-wide ${thr8}%.0f docs/s, $cpus-wide ${thrFull}%.0f docs/s, eff=$efficiency%.2f (gen control eff=$genEfficiency%.2f)")
 
     // warm-up: one full pass (discard)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -32,29 +100,23 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try timeIt(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
-      System.err.println(f"[bench] timed  $name: $sec%.2f s")
-      name -> sec
+      val trials = (1 to 3).map { _ =>
+        try timeIt(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      }
+      val ok = trials.filter(_ >= 0)
+      val (mn, md) = if (ok.isEmpty) (-1.0, -1.0) else (ok.min, med(ok))
+      System.err.println(f"[bench] timed  $name: min=$mn%.2f med=$md%.2f s")
+      (name, mn, md)
     }
 
-    // constraint-eval throughput probe: 2M interleaved docs, full violation
-    // projection + summary aggregate (the north-rule metric at bench scale)
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_DOCS", "2000000").toLong
-    val plan = SparkEntry.docsPlan
-    def validateAll(): Unit = {
-      val docs = graft.io.Docs.generate(spark, nDocs, numPartitions = cpus.toInt * 4,
-        corruptEvery = 1000)
-      graft.exec.ValidationRunner
-        .summary(graft.exec.ValidationRunner.validateCounts(docs, plan), Seq.empty)
-        .collect()
-    }
-    validateAll() // warm-up
-    val tpSec = timeIt(validateAll())
-    val docsPerSec = nDocs / tpSec
+    val statEnd = cpuStat()
+    val stealPct = 100.0 * (statEnd._2 - statStart._2) /
+      math.max(1L, statEnd._1 - statStart._1)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsMed = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":$tpSec,"validate_docs_per_sec":$docsPerSec,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":${tFull.min},"validate_docs_per_sec":$thrFull,"validate_docs_per_sec_8wide":$thr8,"scaling_efficiency_8_to_$cpus":$efficiency,"gen_control_docs_per_sec":$genFull,"gen_control_docs_per_sec_8wide":$gen8,"gen_control_scaling_efficiency":$genEfficiency,"host_steal_pct":$stealPct,"trials":3,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -195,8 +195,12 @@ object SparkEntry {
     // collide in every band, so recall is provably 1.0 and the result set
     // equals the SQL-expressible "pairs with equal word sets" — a real
     // DuckDB oracle over the whole LSH machinery.
+    // Corpus bounded to doc_id < 1000 (all of sf0.01; keeps the oracle's
+    // crossJoin cheap and the equal-set clusters small at larger SFs —
+    // synthetic texts form big equal-word-set clusters whose pair count
+    // grows quadratically). The unbounded scalable path is d_minhash_near.
     "d_minhash_dups" -> ((s, dir) => {
-      val withDups = dupCorpus(s, dir)
+      val withDups = dupCorpus(s, dir).where(col("doc_id") < 1000 || col("doc_id") >= 100000)
       val cands = graft.ops.Dedup.minhashNearDups(withDups, "doc_id", "text",
         numHashes = 32, bands = 8, shingleSize = 1, threshold = 1.0)
       val toks = withDups.select(col("doc_id"),
@@ -550,7 +554,7 @@ object SparkEntry {
     // pairs with equal distinct word sets == the provable-recall minhash result
     "d_minhash_dups" ->
       """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b
         | FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
