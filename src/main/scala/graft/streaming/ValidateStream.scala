@@ -47,11 +47,13 @@ object ValidateStream {
    * — the streaming form of the doc_id-uniqueness rule: instead of reporting
    * duplicates after the fact, later arrivals are dropped (or routed) online.
    * State is one boolean per key, partitioned by doc_id hash across
-   * executors; at 10^12 keys you would bound it with state TTL (timeout
-   * config) — wired here as ProcessingTimeTimeout with no timeout set,
-   * the hook a production deployment tunes.
+   * executors. At 10^12 keys unbounded state OOMs the state store, so
+   * `stateTtl` bounds it: a key idle longer than the TTL is evicted (its
+   * next arrival is treated as first-seen again — the standard
+   * dedup-within-horizon trade; None = exact dedup, unbounded state).
    */
-  def dedupFirstSeen(stream: DataFrame, docKey: String): DataFrame = {
+  def dedupFirstSeen(stream: DataFrame, docKey: String,
+      stateTtl: Option[java.time.Duration] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
     import org.apache.spark.sql.{Encoders, Row}
     implicit val rowEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(stream.schema)
@@ -62,9 +64,15 @@ object ValidateStream {
       .flatMapGroupsWithState[Boolean, Row](
         OM.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty // key already emitted in a prior batch
-          else {
+          if (state.hasTimedOut) {
+            state.remove() // TTL eviction: key forgotten, state bounded
+            Iterator.empty
+          } else if (state.exists) {
+            stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis)) // refresh
+            Iterator.empty // key already emitted in a prior batch
+          } else {
             state.update(true)
+            stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
             rows.take(1) // first occurrence within this batch wins
           }
       }

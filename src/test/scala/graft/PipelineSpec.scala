@@ -427,6 +427,39 @@ class PipelineSpec extends SparkTestBase {
     assert(all.groupBy("doc_id").count().where(col("count") > 1).count() === 0)
   }
 
+  test("streaming: dedup state TTL evicts idle keys so re-arrivals pass (bounded state)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ttl-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ttl-ck").toString
+    def runOnce(expectRows: Long): Unit = {
+      val stream = graft.streaming.ValidateStream.fromParquetDir(spark, dir, Docs.docSchema)
+      val deduped = graft.streaming.ValidateStream.dedupFirstSeen(stream, "doc_id",
+        stateTtl = Some(java.time.Duration.ofMillis(300)))
+      val q = deduped.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      // a TTL'd stateful query keeps scheduling timeout-firing batches, so
+      // AvailableNow does not self-terminate — poll the sink for the data
+      // batches, then stop explicitly (leaking the query past the test
+      // crashes its next batch planning once the session is torn down)
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        (try spark.read.parquet(outDir).count() catch { case _: Exception => -1L }) != expectRows)
+        Thread.sleep(500)
+      q.stop()
+      q.awaitTermination()
+    }
+    Docs.generate(spark, 50, 1).write.mode("append").parquet(dir)
+    runOnce(expectRows = 50)
+    assert(spark.read.parquet(outDir).count() === 50)
+    // past the TTL horizon the keys are evicted → the SAME docs are
+    // first-seen again (the no-TTL test above proves retention drops them)
+    Thread.sleep(1500)
+    Docs.generate(spark, 50, 1).write.mode("append").parquet(dir)
+    runOnce(expectRows = 100)
+    assert(spark.read.parquet(outDir).count() === 100)
+  }
+
   test("streaming: violation rows written exactly-once via checkpointed file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vstream-in").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft-vstream-out").toString
