@@ -88,6 +88,29 @@ final class CheckpointManager(root: String) extends Serializable {
   def read(spark: SparkSession, name: String): DataFrame = spark.read.parquet(outPath(name))
   def violations(spark: SparkSession): DataFrame = read(spark, "violations")
   def summary(spark: SparkSession): DataFrame = read(spark, "summary")
+
+  // ---- compiled-spec fingerprint (the `piqi compile` blob riding with the
+  // lineage: a resumed run must be the SAME plan that wrote the outputs) ----
+
+  private def specPath = new org.apache.hadoop.fs.Path(s"$root/spec.json")
+
+  /** The spec JSON recorded with this checkpoint, if any. */
+  def recordedSpec(spark: SparkSession): Option[String] = {
+    val fs = specPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(specPath)) None
+    else {
+      val in = fs.open(specPath)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  def recordSpec(spark: SparkSession, specJson: String): Unit = {
+    val fs = specPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(specPath, true)
+    try out.write(specJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 }
 
 /**
@@ -104,6 +127,19 @@ object ValidationCheckpoint {
   def run(docs: DataFrame, plan: ValidationPlan, mgr: CheckpointManager,
       bucketCol: String, allBuckets: Seq[Int], docKey: String,
       sketchCols: Seq[SketchCol] = Nil, batches: Int = 1): Unit = {
+    // spec fingerprint: resuming a lineage with a DIFFERENT spec would mix
+    // outputs of two plans in one table — fail fast instead (the serialized
+    // blob is the `piqi compile` portable-spec analog, SpecJson)
+    val spark = docs.sparkSession
+    val specJson = graft.spec.SpecJson.toJson(plan.spec)
+    mgr.recordedSpec(spark) match {
+      case Some(prev) if prev != specJson =>
+        throw new graft.spec.SpecException(
+          s"checkpoint at a different spec: lineage was written by another plan " +
+            s"(recorded spec differs); use a fresh checkpoint root or the original spec")
+      case Some(_) => ()
+      case None => mgr.recordSpec(spark, specJson)
+    }
     mgr.runResumable(docs, bucketCol, allBuckets, batch => {
       val validated = ValidationRunner.validate(batch, plan)
       // bucketCol rides through the explode — NEVER re-join on docKey here:

@@ -113,18 +113,21 @@ object Drift {
       .agg(
         sum(when(col(groupCol).cast("string") === g1, 1L).otherwise(0L)).as("c1"),
         sum(when(col(groupCol).cast("string") === g2, 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // single pass: cumulative counts via the ordered window, totals via the
+    // whole-partition window — one job, one collect of one row
+    val cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val row = counts
-      .select(sum("c1").over(w).as("f1"), sum("c2").over(w).as("f2"))
-      .agg(max(col("f1")).as("n1"), max(col("f2")).as("n2"),
-        // D needs n1/n2 first; compute via a second pass below
-        count(lit(1)).as("_k"))
+      .select(
+        sum("c1").over(cum).as("f1"), sum("c2").over(cum).as("f2"),
+        sum("c1").over(all).as("n1"), sum("c2").over(all).as("n2"))
+      .select(
+        abs(col("f1").cast("double") / col("n1").cast("double") -
+          col("f2").cast("double") / col("n2").cast("double")).as("diff"),
+        col("n1"), col("n2"))
+      .agg(max(col("diff")).as("d"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
       .collect()(0)
-    val (n1, n2) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
-    val d = counts
-      .select((sum("c1").over(w).cast("double") / n1 -
-        sum("c2").over(w).cast("double") / n2).as("diff"))
-      .agg(max(abs(col("diff")))).collect()(0).getDouble(0)
+    val (d, n1, n2) = (row.getDouble(0), row.getLong(1).toDouble, row.getLong(2).toDouble)
     KsResult(g1, g2, d, ksPValue(d, n1, n2), n1, n2)
   }
 

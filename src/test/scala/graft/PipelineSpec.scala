@@ -130,6 +130,26 @@ class PipelineSpec extends SparkTestBase {
     before match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
   }
 
+  test("checkpoint: resuming with a DIFFERENT spec fails fast (spec fingerprint)") {
+    import graft.checkpoint.ValidationCheckpoint
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-spec").toString
+    val mgr = new CheckpointManager(root)
+    val docs = Docs.generate(spark, 50, 1)
+      .withColumn("bucket", lit(0))
+    ValidationCheckpoint.run(docs, SpecCompiler.compile(Docs.docSpec), mgr, "bucket", Seq(0), "doc_id")
+    assert(mgr.recordedSpec(spark).isDefined)
+    // same spec resumes fine (no-op: bucket committed)
+    ValidationCheckpoint.run(docs, SpecCompiler.compile(Docs.docSpec), mgr, "bucket", Seq(0), "doc_id")
+    // a changed spec must be rejected
+    val changed = SpecCompiler.compile(
+      Docs.docSpec.extendRecord("document",
+        graft.spec.PField("extra", graft.spec.PString, graft.spec.Optional())))
+    val e = intercept[graft.spec.SpecException] {
+      ValidationCheckpoint.run(docs, changed, mgr, "bucket", Seq(0), "doc_id")
+    }
+    assert(e.getMessage.contains("different spec"))
+  }
+
   test("JSON ingest: parse + validate + strict unknown-key semantics (B2/B3/I10)") {
     val spark0 = spark
     import spark0.implicits._

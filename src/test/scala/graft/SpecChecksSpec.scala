@@ -80,4 +80,38 @@ class SpecChecksSpec extends AnyFunSuite {
       imports = Seq(dep))
     assert(s.defTable.contains("base/color"))
   }
+
+  test("SpecJson: portable blob round-trips structurally (piqi compile analog)") {
+    import graft.spec._
+    val gnarly = Spec("m", Seq(
+      EnumDef("color", Seq("red", "green")),
+      AliasDef("port", PInt(1, 65535), Seq(InRange(1024, 49151))),
+      VariantDef("payload", Seq(
+        POption("num", Some(TypeRef("port"))), POption("flagish"))),
+      ListDef("tags", PString, Seq(MatchesRegex("^[a-z]+$"))),
+      RecordDef("r", Seq(
+        PField("id", PString, Required, Seq(ValidUtf8), jsonName = Some("ID")),
+        PField("opt", PString, Optional(Some("dflt"))),
+        PField("n", PInt(0, 10), Optional(Some(3L))),
+        PField("x", PFloat, Optional(Some(1.5))),
+        PField("f32", PFloat32, Optional()),
+        PField("on", PBool, Flag),
+        PField("bin", PBinary, Optional(), Seq(Base64)),
+        PField("raw", PAny, Optional()),
+        PField("tags", TypeRef("tags"), Optional(), deprecated = true),
+        PField("p", TypeRef("payload"), Optional()),
+        PField("c", TypeRef("color"), Repeated)))), "r",
+      rowRules = Seq(
+        ExactlyOneOf("xy", Seq("opt", "n")),
+        AtMostOneOf("ab", Seq("x", "f32")),
+        StrictlyIncreasing("ord", "c", "v")),
+      imports = Seq(Spec("dep", Seq(RecordDef("d", Seq(PField("k", PString)))), "d")),
+      strict = true)
+    for (spec <- Seq(gnarly, graft.io.Docs.docSpec, graft.SparkEntry.documentsSpec)) {
+      val json = SpecJson.toJson(spec)
+      val back = SpecJson.fromJson(json)
+      assert(back === spec, s"roundtrip diverged for ${spec.module}")
+      assert(SpecJson.toJson(back) === json) // stable re-serialization
+    }
+  }
 }
