@@ -145,6 +145,21 @@ object Convert {
   }
 
   /**
+   * Emit rows as XML — the `piqobj_to_xml.ml` analog (Spark 4 `to_xml`;
+   * element nesting ↔ record fields, repeated fields ↔ repeated elements,
+   * `doc/encodings.md:168-189`: no attributes, no namespaces). `rootTag`
+   * plays `<value>`'s role there. `addDefaults` mirrors the JSON emitter's
+   * output-stage defaults projection.
+   */
+  def toXml(df: DataFrame, plan: ValidationPlan, rootTag: String = "value",
+      addDefaults: Boolean = false): DataFrame = {
+    val base = if (addDefaults) plan.withDefaults(df) else df
+    val dataCols = base.columns.filterNot(c => c == "violations" || c == "valid")
+    base.select(to_xml(struct(dataCols.map(col): _*),
+      java.util.Map.of("rootTag", rootTag)).as("xml"))
+  }
+
+  /**
    * Emit rows as JSON with reference output semantics
    * (`piqobj_to_json.ml:27-141`): `omitMissing=true` (the default there)
    * drops null fields; `addDefaults` materializes declared defaults first

@@ -300,6 +300,28 @@ class PipelineSpec extends SparkTestBase {
     assert(spans.getSeq[String](0) === Seq("text", "media"))
   }
 
+  test("format matrix: json -> xml -> json legs preserve span sequences (test_piq analog)") {
+    // the reference's format-matrix scripts convert each fixture through
+    // every format pair and cmp the results (tests/examples/test_piq);
+    // ours: generate -> toJson -> fromJson -> toXml -> fromXml and assert
+    // per-row span-sequence equality (kind,text,media_ref,offset + order)
+    // plus identical validation verdicts at both ends
+    val plan = SpecCompiler.compile(Docs.docSpec)
+    val docs = Docs.generate(spark, 500, 4, corruptEvery = 100)
+    val fromJ = Convert.fromJson(Convert.toJson(docs, plan), "json", Docs.docSpec)
+    val fromX = Convert.fromXml(
+      Convert.toXml(fromJ.select("doc_id", "spans"), plan, rootTag = "doc"),
+      "xml", Docs.docSpec)
+    val joined = docs.alias("a").join(fromX.alias("b"), "doc_id")
+    assert(joined.count() === 500)
+    val mismatched = joined.where(
+      !Docs.spansEqual(col("a.spans"), col("b.spans"), withOffsets = true)).count()
+    assert(mismatched === 0, s"$mismatched docs lost span fidelity through json->xml")
+    // verdicts survive the format trip
+    val directInvalid = ValidationRunner.validate(docs, plan).where(!col("valid")).count()
+    assert(fromX.where(!col("valid")).count() === directInvalid)
+  }
+
   test("float32 fields and the documented uint64 Long cap (SURVEY §1.2 deviations)") {
     val spark0 = spark
     import spark0.implicits._
