@@ -77,6 +77,20 @@ object SparkEntry {
       ValidationRunner.summary(validated, Seq("source")).orderBy("source")
     }),
 
+    // per-rule violation counts (rule hit-rate monitoring)
+    "v_rule_counts" -> ((s, dir) => {
+      val validated = ValidationRunner.validate(t(s, dir, "documents"), documentsPlan)
+      ValidationRunner.ruleCounts(validated).orderBy("rule")
+    }),
+
+    // exact violation rows for the uniqueness rule (duplicate-key carriers)
+    "v_dup_rows" -> ((s, dir) => {
+      ValidationRunner.duplicateRows(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber"), "l_orderkey")
+        .select("l_orderkey", "l_linenumber", "rule")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // per-column stats: count / null-count / min / max / exact distinct
     "v_stats" -> ((s, dir) => {
       ValidationRunner.columnStats(t(s, dir, "documents"),
@@ -187,6 +201,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val withDups = docs.select("text").union(docs.where(col("doc_id") < 50).select("text"))
       graft.ops.Dedup.exactDupGroups(withDups, "text").orderBy("content_hash")
+    }),
+
+    // exact dedup keep-path: one representative (min doc_id) per text group
+    "d_dedup_keep" -> ((s, dir) => {
+      graft.ops.Dedup.exactDedup(dupCorpus(s, dir), "text", "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
     }),
 
     // MinHash+LSH end-to-end with a DETERMINISTIC verified result: word-set
@@ -432,6 +453,30 @@ object SparkEntry {
         | UNION ALL SELECT 'source', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT), min(source), max(source), CAST(count(DISTINCT source) AS BIGINT) FROM documents
         | UNION ALL SELECT 'text', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT), min(text), max(text), CAST(count(DISTINCT text) AS BIGINT) FROM documents
         |) ORDER BY "column"""".stripMargin.replace("\n", " "),
+
+    "v_rule_counts" ->
+      s"""SELECT rule, CAST(count(*) AS BIGINT) AS n FROM (
+         | SELECT 'missing-field:doc_id' AS rule FROM documents WHERE doc_id IS NULL
+         | UNION ALL SELECT 'missing-field:text' FROM documents WHERE text IS NULL
+         | UNION ALL SELECT 'missing-field:lang' FROM documents WHERE lang IS NULL
+         | UNION ALL SELECT 'missing-field:source' FROM documents WHERE source IS NULL
+         | UNION ALL SELECT 'missing-field:n_chars' FROM documents WHERE n_chars IS NULL
+         | UNION ALL SELECT 'unknown-enum:lang' FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+         | UNION ALL SELECT 'format:source' FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$$')
+         | UNION ALL SELECT 'range:n_chars' FROM documents WHERE n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 500)
+         |) GROUP BY rule ORDER BY rule""".stripMargin.replace("\n", " "),
+
+    "v_dup_rows" ->
+      """SELECT l_orderkey, l_linenumber, 'unique:l_orderkey' AS rule FROM lineitem
+        | WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) > 1)
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
+
+    "d_dedup_keep" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        | SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM corpus GROUP BY text
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "v_unique" ->
       """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem
