@@ -331,7 +331,121 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Sign-bit LSH bucket id over an embedding array (random-hyperplane LSH,
+ * Charikar STOC'02, hash-generated planes): bit b of the result is the sign
+ * of Σ_i x_i · pc(seed,b,i) where pc ∈ {−1,+1} comes from
+ * xxhash64(seed,b,i) parity.
+ *
+ * Exact HOF-equivalent semantics ([[Vectors.signBitsHOF]]): null array or
+ * any null element → 0L (the HOF's per-bit aggregate turns null, and
+ * `when(null ≥ 0)` falls to the 0 branch for every bit); per-bit projection
+ * sums elements in ascending index order (bit-identical float addition).
+ * The HOF form ran `bits × dim` interpreted lambda dispatches + an xxhash64
+ * Column tree per element per bit — the inner loop of every bucketed ANN /
+ * embedding near-dup job.
+ */
+case class SignBits(child: Expression, bits: Int, seed: Int) extends UnaryExpression {
+
+  require(bits > 0 && bits <= 63, "bits must be in 1..63")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"SignBits requires array<float|double>, got $other")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Per-bit hash prefix: xxhash64(seed, bit, ·) folded over the first two args. */
+  private lazy val bitSeeds: Array[Long] =
+    Array.tabulate(bits)(b => XXH64.hashInt(b, XXH64.hashInt(seed, 42L)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return 0L // HOF: zip_with pads → null projection → all bits 0
+    val proj = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return 0L // null element nulls every projection
+      val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      var b = 0
+      while (b < bits) {
+        val pc = if (((XXH64.hashInt(i, bitSeeds(b)) % 2) + 2) % 2 == 0) 1.0 else -1.0
+        proj(b) += x * pc
+        b += 1
+      }
+      i += 1
+    }
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      if (proj(b) >= 0) bucket += (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("signBitSeeds", bitSeeds, "long[]")
+    val childGen = child.genCode(ctx)
+    val getter = if (elemIsFloat) "getFloat" else "getDouble"
+    val i = ctx.freshName("i")
+    val b = ctx.freshName("b")
+    val n = ctx.freshName("n")
+    val x = ctx.freshName("x")
+    val h = ctx.freshName("h")
+    val proj = ctx.freshName("proj")
+    val sawNull = ctx.freshName("sawNull")
+    val bucket = ctx.freshName("bucket")
+    val code =
+      s"""
+         |${childGen.code}
+         |long $bucket = 0L;
+         |if (!${childGen.isNull} && ${childGen.value}.numElements() > 0) {
+         |  int $n = ${childGen.value}.numElements();
+         |  double[] $proj = new double[$bits];
+         |  boolean $sawNull = false;
+         |  for (int $i = 0; $i < $n && !$sawNull; $i++) {
+         |    if (${childGen.value}.isNullAt($i)) { $sawNull = true; break; }
+         |    double $x = (double) ${childGen.value}.$getter($i);
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt($i, $seedsRef[$b]);
+         |      $proj[$b] += ((($h % 2L) + 2L) % 2L == 0L) ? $x : -$x;
+         |    }
+         |  }
+         |  if (!$sawNull) {
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      if ($proj[$b] >= 0) $bucket += (1L << $b);
+         |    }
+         |  }
+         |}
+         |long ${ev.value} = $bucket;
+       """.stripMargin
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBits =
+    copy(child = newChild)
+}
+
 object HashExpressions {
+  /** Codegen'd sign-bit LSH bucket over an embedding column. */
+  def signBitsNative(vec: Column, bits: Int, seed: Int): Column =
+    GraftBridge.column(SignBits(GraftBridge.expression(vec), bits, seed))
+
   /** Codegen'd shingle hashes over an `array<string>` token column. */
   def shingleHashesNative(tokens: Column, k: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(tokens), k))

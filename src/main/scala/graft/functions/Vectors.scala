@@ -60,8 +60,15 @@ object Vectors {
   /**
    * Sign-bit LSH signature: `bits`-bit bucket id from random hyperplanes.
    * Vectors with high cosine similarity collide with high probability.
+   * Computed by the native codegen'd [[SignBits]] expression — the HOF form
+   * below ran bits × dim interpreted lambda dispatches per vector, the
+   * inner loop of every bucketed ANN / embedding near-dup job.
    */
-  def signBits(vec: Column, bits: Int, seed: Int = 42): Column = {
+  def signBits(vec: Column, bits: Int, seed: Int = 42): Column =
+    HashExpressions.signBitsNative(vec, bits, seed).as("lsh_bucket")
+
+  /** Generic HOF form of [[signBits]] — equivalence-test reference. */
+  def signBitsHOF(vec: Column, bits: Int, seed: Int = 42): Column = {
     val terms = (0 until bits).map { b =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

@@ -26,6 +26,14 @@ object DebugCodegen {
       graft.ops.Dedup.minhashSignature(col("text"), 32).as("minhash"))
     sigs.debugCodegen()
     sigs.collect() // force execution: janino errors surface as WARN + fallback
+    // sign-bit LSH native (embedding bucketing)
+    val vecs = spark.range(0, 1000, 1, 4).select(col("id"),
+      org.apache.spark.sql.functions.array(
+        (col("id") % 7).cast("double"), (col("id") % 3).cast("double"),
+        org.apache.spark.sql.functions.lit(-1.5)).as("v"))
+    val buckets = vecs.select(graft.functions.Vectors.signBits(col("v"), 8).as("b"))
+    buckets.debugCodegen()
+    buckets.collect()
     spark.stop()
   }
 }

@@ -71,4 +71,30 @@ class VectorExprSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("vectordot") ||
       e.getMessage.toLowerCase.contains("datatype"))
   }
+
+  test("native SignBits equals HOF sign-bit LSH exactly (floats, doubles, edge cases)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // real float embeddings from testdata + synthetic doubles + edges
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200).select(col("vec_id"), col("embedding").as("v"))
+    for (bits <- Seq(1, 4, 8); seed <- Seq(42, 43)) {
+      val cmp = emb.select(
+        graft.functions.Vectors.signBits(col("v"), bits, seed).as("native"),
+        graft.functions.Vectors.signBitsHOF(col("v"), bits, seed).as("hof"))
+      assert(cmp.where(!(col("native") <=> col("hof"))).count() === 0, s"bits=$bits seed=$seed")
+    }
+    // doubles (via normalize), empty, null array, null element
+    val edge = Seq(
+      (1L, Seq[java.lang.Double](0.5, -0.25, 1.0)),
+      (2L, Seq[java.lang.Double]()),
+      (3L, null: Seq[java.lang.Double]),
+      (4L, Seq[java.lang.Double](0.5, null, 1.0))).toDF("id", "v")
+    val cmp2 = edge.select(col("id"),
+      graft.functions.Vectors.signBits(col("v"), 6).as("native"),
+      graft.functions.Vectors.signBitsHOF(col("v"), 6).as("hof"))
+    val rows = cmp2.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (id, (n, h)) => assert(n === h, s"id=$id native=$n hof=$h") }
+    assert(rows(2L)._1 === 0L && rows(3L)._1 === 0L && rows(4L)._1 === 0L)
+  }
 }
