@@ -11,4 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function builder into an EXISTING session's registry
+    * (the post-hoc form of `SparkSessionExtensions.injectFunction`). */
+  def registerFunction(spark: SparkSession, name: String, usage: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val identifier = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name, usage)
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(identifier, info, builder)
+  }
 }
