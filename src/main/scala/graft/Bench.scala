@@ -25,6 +25,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // small split targets so the benchmark parquet (few hundred MB) still
+      // yields enough scan partitions to exercise full-width parallelism
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,11 +55,25 @@ object Bench {
     // measured a JVM polluted by 130+ executed plans (codegen cache, GC
     // debt, checkpoint blocks) — 465k docs/s there vs 1.74M in a fresh JVM,
     // same window, same job.
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_DOCS", "4000000").toLong
+    // 16M docs ≈ 2-5 s per timed trial at full width: large enough that the
+    // ~0.2 s fixed job overhead stops suppressing the scaling-efficiency
+    // figure, small enough for three alternating trials per width
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_DOCS", "16000000").toLong
     val plan = SparkEntry.docsPlan
-    def validateAll(parts: Int): Unit = {
-      val docs = graft.io.Docs.generate(spark, nDocs, numPartitions = parts,
-        corruptEvery = 1000)
+    // the probe validates a MATERIALIZED parquet table (the production
+    // shape: scan + one wide codegen'd projection + partial agg), not docs
+    // generated inline — the generator's interpreted span-building HOF was
+    // 60-75% of the timed path and is harness cost, not engine cost. The
+    // table is written once (untimed; deterministic generator, reused
+    // across runs of the same size).
+    val docsPath = s"/tmp/graft_bench_docs_$nDocs"
+    if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
+      graft.io.Docs.generate(spark, nDocs, numPartitions = 256, corruptEvery = 1000)
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    def validateAll(width: Int): Unit = {
+      val base = spark.read.parquet(docsPath)
+      val docs = if (width > 0) base.coalesce(width) else base
       graft.exec.ValidationRunner
         .summary(graft.exec.ValidationRunner.validateCounts(docs, plan), Seq.empty)
         .collect()
@@ -73,14 +91,14 @@ object Bench {
         .agg(sum(hash(col("spans")).cast("long"))).collect()
     }
     val fullParts = cpus.toInt * 8
-    validateAll(8); validateAll(fullParts); genOnly(8); genOnly(fullParts) // warm-up
+    validateAll(8); validateAll(0); genOnly(8); genOnly(fullParts) // warm-up
     val t8 = scala.collection.mutable.ArrayBuffer[Double]()
     val tFull = scala.collection.mutable.ArrayBuffer[Double]()
     val g8 = scala.collection.mutable.ArrayBuffer[Double]()
     val gFull = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to 3) {
       t8 += timeIt(validateAll(8))
-      tFull += timeIt(validateAll(fullParts))
+      tFull += timeIt(validateAll(0))
       g8 += timeIt(genOnly(8))
       gFull += timeIt(genOnly(fullParts))
     }
