@@ -275,8 +275,62 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
     e.combine(fieldRs ++ ruleRs)
   }
 
-  /** Exact violation details: `array<struct<rule,path,detail>>` (report path). */
-  lazy val violations: Column = rootWalk(DetailEmitter).as("violations")
+  /**
+   * Exact violation details: `array<struct<rule,path,detail>>` (report
+   * path). Repeated record fields whose rules are natively representable
+   * compile to [[StructArrayRuleDetail]] (one pass, allocations only when a
+   * rule fires) — the detail twin of the count form's native path; entry
+   * ORDER may differ from the generic concat (absorbed row rules emit
+   * inline per element), so equivalence with [[violationsGeneric]] is as
+   * multisets (what violationRows and the driver's sorted compare consume).
+   */
+  lazy val violations: Column = {
+    val detailByField: Map[String, (Seq[DetailRule], Set[RowRule])] =
+      rootRecord.fields.flatMap { f =>
+        nativeArrayRules(f).map { baseRules =>
+          val elemFields = resolveDef(unalias(f.tpe)._1)
+            .collect { case RecordDef(_, fs) => fs }.getOrElse(Nil)
+          val base = baseRules.map {
+            case r @ RuleNotNull(f2) => DetailRule(r,
+              s"missing-field:${f.name}.$f2", s"${f.name}[", s"].$f2",
+              "required field is missing")
+            case r @ RuleInSet(f2, _) => DetailRule(r,
+              s"unknown-enum:${f.name}.$f2", s"${f.name}[", s"].$f2")
+            case r @ RuleRange(f2, _, _) => DetailRule(r,
+              s"range:${f.name}.$f2", s"${f.name}[", s"].$f2")
+            case r @ RuleExactlyOne(_) => DetailRule(r, // not produced by nativeArrayRules
+              s"exactly-one:${f.name}", s"${f.name}[", "]")
+            case r @ RuleIncreasing(fld) => DetailRule(r,
+              s"order:${f.name}", f.name, "", s"$fld must be strictly increasing")
+          }
+          val absorbed = spec.rowRules.flatMap(r =>
+            absorbableRowRule(r, f.name, elemFields).map(ar => r -> ar))
+          val absRules = absorbed.map {
+            case (ExactlyOneOf(n, _), ar) =>
+              DetailRule(ar, s"exactly-one:$n", s"${f.name}[", "]")
+            case (AtMostOneOf(n, _), ar) =>
+              DetailRule(ar, s"at-most-one:$n", s"${f.name}[", "]")
+            case (StrictlyIncreasing(n, _, fld), ar) =>
+              DetailRule(ar, s"order:$n", f.name, "",
+                s"$fld must be strictly increasing")
+          }
+          f.name -> ((base ++ absRules, absorbed.map(_._1).toSet))
+        }
+      }.toMap
+    val absorbedRowRules: Set[RowRule] = detailByField.values.flatMap(_._2).toSet
+    val fieldCols: Seq[Column] = rootRecord.fields.flatMap { f =>
+      detailByField.get(f.name) match {
+        case Some((rules, _)) => Seq(StructArrayRuleDetail.column(col(f.name), rules))
+        case None => fieldVios(DetailEmitter, f, col(f.name), f.name, lit(true))
+      }
+    }
+    val rowCols = spec.rowRules.filterNot(absorbedRowRules)
+      .flatMap(r => rowRuleVios(DetailEmitter, r))
+    DetailEmitter.combine(fieldCols ++ rowCols).as("violations")
+  }
+
+  /** Generic (HOF) detail form — equivalence-test reference / fallback. */
+  lazy val violationsGeneric: Column = rootWalk(DetailEmitter).as("violations")
 
   /** [[violations]] evaluated over a STRUCT column holding the root record
     * (e.g. a `from_json`-parsed piqi-any payload) instead of top-level

@@ -1,0 +1,213 @@
+package graft.compile
+
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * One compiled detail rule: the [[ArrayRule]] plus the precomputed strings
+ * the violation struct needs. Element paths render as
+ * `pathPrefix + i + pathSuffix` (e.g. "spans[" + 3 + "].kind").
+ */
+final case class DetailRule(rule: ArrayRule, ruleId: String,
+    pathPrefix: String, pathSuffix: String, constantDetail: String = "")
+    extends Serializable
+
+/**
+ * Native codegen'd violation DETAIL builder for a struct-array column: the
+ * `array<struct<rule,path,detail>>` twin of [[StructArrayRuleCount]]. The
+ * generic Column form builds this array through interpreted HOFs
+ * (transform-of-transform + flatten + string concat per element per rule);
+ * this expression runs the same single rule-program pass as the counter and
+ * only allocates strings/structs when a rule actually FIRES — on real
+ * corpora violations are rare, so the happy path costs what counting costs.
+ *
+ * Violation-struct semantics match the generic DetailEmitter's per rule
+ * (same ruleId / stamped path / detail text); the ORDER of entries may
+ * differ from the generic concat order (absorbed row rules emit inline per
+ * element, not appended at the end), so equivalence is as multisets —
+ * exactly what violationRows / the driver's sorted compare consume.
+ */
+case class StructArrayRuleDetail(child: Expression, rules: Seq[DetailRule])
+    extends UnaryExpression {
+
+  override def dataType: DataType = SpecCompiler.violationType
+  override def nullable: Boolean = false
+
+  private lazy val structType: StructType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private def ord(f: String): Int = structType.fieldIndex(f)
+  private def isLongField(f: String): Boolean = structType(ord(f)).dataType match {
+    case LongType => true
+    case IntegerType | ShortType | ByteType => false
+    case StringType => false
+    case other => throw new IllegalArgumentException(s"field $f: unsupported type $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StructType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"StructArrayRuleDetail requires array<struct>, got $other")
+    }
+
+  /** Interned constant strings per rule: (ruleId, pathPrefix, pathSuffix, detail). */
+  private lazy val consts: Array[Array[UTF8String]] = rules.map { d =>
+    Array(UTF8String.fromString(d.ruleId), UTF8String.fromString(d.pathPrefix),
+      UTF8String.fromString(d.pathSuffix), UTF8String.fromString(d.constantDetail))
+  }.toArray
+
+  private lazy val setRefs: Map[String, java.util.HashSet[UTF8String]] =
+    rules.collect { case DetailRule(RuleInSet(f, vs), _, _, _, _) =>
+      val s = new java.util.HashSet[UTF8String]()
+      vs.foreach(v => s.add(UTF8String.fromString(v)))
+      f -> s
+    }.toMap
+
+  /** Option-name strings for each RuleExactlyOne, in field order. */
+  private lazy val oneOfNames: Map[Int, Array[UTF8String]] =
+    rules.zipWithIndex.collect { case (DetailRule(RuleExactlyOne(fs), _, _, _, _), k) =>
+      k -> fs.map(UTF8String.fromString).toArray
+    }.toMap
+
+  private val comma = UTF8String.fromString(",")
+
+  private def path(k: Int, i: Int): UTF8String =
+    UTF8String.concat(consts(k)(1), UTF8String.fromString(String.valueOf(i)), consts(k)(2))
+
+  private def vioRow(k: Int, p: UTF8String, detail: UTF8String): InternalRow =
+    new GenericInternalRow(Array[Any](consts(k)(0), p, detail))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) StructArrayRuleDetail.emptyResult
+    else evalArray(v.asInstanceOf[ArrayData])
+  }
+
+  /** Entry point for generated code: evaluate from the already-computed child value. */
+  def evalFromChildValue(childValue: Any): Any =
+    if (childValue == null) StructArrayRuleDetail.emptyResult
+    else evalArray(childValue.asInstanceOf[ArrayData])
+
+  private def evalArray(arr: ArrayData): Any = {
+    val nFields = structType.length
+    var out: java.util.ArrayList[InternalRow] = null
+    def add(r: InternalRow): Unit = {
+      if (out == null) out = new java.util.ArrayList[InternalRow](4)
+      out.add(r)
+    }
+    val incIdx = rules.zipWithIndex.collect { case (DetailRule(r: RuleIncreasing, _, _, _, _), k) => k }
+    val incViolated = Array.fill(incIdx.size)(false)
+    val incPrev = new Array[Long](incIdx.size)
+    val incPrevSet = Array.fill(incIdx.size)(false)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        rules.zipWithIndex.foreach {
+          case (DetailRule(_: RuleExactlyOne, _, _, _, _), k) =>
+            add(vioRow(k, path(k, i), UTF8String.EMPTY_UTF8)) // 0 of N set
+          case _ => ()
+        }
+        var q = 0
+        while (q < incIdx.size) { incPrevSet(q) = false; q += 1 } // chain break
+      } else {
+        val s = arr.getStruct(i, nFields)
+        rules.zipWithIndex.foreach { case (d, k) =>
+          d.rule match {
+            case RuleNotNull(f) =>
+              if (s.isNullAt(ord(f))) add(vioRow(k, path(k, i), consts(k)(3)))
+            case RuleInSet(f, _) =>
+              val o = ord(f)
+              if (!s.isNullAt(o)) {
+                val value = s.getUTF8String(o)
+                if (!setRefs(f).contains(value)) add(vioRow(k, path(k, i), value.clone()))
+              }
+            case RuleRange(f, lo, hi) =>
+              val o = ord(f)
+              if (!s.isNullAt(o)) {
+                val x = if (isLongField(f)) s.getLong(o) else s.getInt(o).toLong
+                if (x < lo || x > hi)
+                  add(vioRow(k, path(k, i), UTF8String.fromString(String.valueOf(x))))
+              }
+            case RuleExactlyOne(fs) =>
+              var nn = 0
+              fs.foreach(f => if (!s.isNullAt(ord(f))) nn += 1)
+              if (nn != 1) {
+                val names = oneOfNames(k)
+                var detail: UTF8String = null
+                var j = 0
+                while (j < fs.size) {
+                  if (!s.isNullAt(ord(fs(j)))) {
+                    detail = if (detail == null) names(j)
+                      else UTF8String.concat(detail, comma, names(j))
+                  }
+                  j += 1
+                }
+                add(vioRow(k, path(k, i),
+                  if (detail == null) UTF8String.EMPTY_UTF8 else detail))
+              }
+            case _: RuleIncreasing => ()
+          }
+        }
+        incIdx.zipWithIndex.foreach { case (k, qi) =>
+          val RuleIncreasing(f) = rules(k).rule: @unchecked
+          val o = ord(f)
+          if (!s.isNullAt(o)) {
+            val x = if (isLongField(f)) s.getLong(o) else s.getInt(o).toLong
+            if (incPrevSet(qi) && x <= incPrev(qi)) incViolated(qi) = true
+            incPrev(qi) = x
+            incPrevSet(qi) = true
+          } else incPrevSet(qi) = false
+        }
+      }
+      i += 1
+    }
+    incIdx.zipWithIndex.foreach { case (k, qi) =>
+      if (incViolated(qi))
+        add(vioRow(k, consts(k)(1), consts(k)(3))) // path = array name, once per row
+    }
+    if (out == null) StructArrayRuleDetail.emptyResult
+    else new GenericArrayData(out.toArray)
+  }
+
+  // Codegen delegates to eval through a reference object: the work here is
+  // branchy object construction (strings, structs, growable buffer), which
+  // gains nothing from inlined Java but costs compile size; keeping the
+  // expression non-CodegenFallback via this stub keeps the SURROUNDING
+  // projection inside whole-stage codegen (a CodegenFallback would break the
+  // whole stage out of codegen).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ruleDetail", this,
+      classOf[StructArrayRuleDetail].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      s"""
+         |${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalFromChildValue(
+         |    ${childGen.isNull} ? null : ${childGen.value});
+       """.stripMargin
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StructArrayRuleDetail =
+    copy(child = newChild)
+}
+
+object StructArrayRuleDetail {
+  /** Shared empty result — the overwhelmingly common case. */
+  val emptyResult: GenericArrayData = new GenericArrayData(new Array[Any](0))
+
+  def column(arr: org.apache.spark.sql.Column, rules: Seq[DetailRule]): org.apache.spark.sql.Column =
+    GraftBridge.column(StructArrayRuleDetail(GraftBridge.expression(arr), rules))
+}

@@ -171,6 +171,36 @@ class CompilerEdgeSpec extends SparkTestBase {
     }
   }
 
+  test("native detail form equals generic detail form as multisets (corpus + null edges)") {
+    val plan = SpecCompiler.compile(graft.io.Docs.docSpec)
+    def sortedVios(c: org.apache.spark.sql.Column) =
+      array_sort(c) // struct arrays sort by (rule, path, detail)
+
+    // generated corpus with every corruption kind
+    val d = graft.io.Docs.generate(spark, 3000, numPartitions = 4, corruptEvery = 13)
+      .withColumn("n", sortedVios(plan.violations))
+      .withColumn("g", sortedVios(plan.violationsGeneric))
+    assert(d.where(!(col("n") <=> col("g"))).count() === 0)
+    // and the corpus actually exercises the rules
+    assert(d.where(size(col("n")) > 0).count() > 0)
+
+    // null array elements / null ordered values (containsNull=true shapes)
+    val spanT = StructType(Seq(
+      StructField("kind", StringType), StructField("text", StringType),
+      StructField("media_ref", StringType), StructField("offset", LongType)))
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("spans", ArrayType(spanT, containsNull = true))))
+    val rows = Seq(
+      Row("doc-a", Seq(Row("text", "t", null, 0L), null, Row("video", null, null, null))),
+      Row("doc-b", Seq(Row("text", "t", "m", 5L), Row("text", "t2", null, 3L))),
+      Row("doc-c", null))
+    val edge = spark.createDataFrame(rows.asJava, schema)
+      .withColumn("n", sortedVios(plan.violations))
+      .withColumn("g", sortedVios(plan.violationsGeneric))
+    assert(edge.where(!(col("n") <=> col("g"))).count() === 0)
+  }
+
   test("describe dumps the resolved module (A14)") {
     val text = graft.SparkEntry.documentsPlan.describe
     assert(text.contains("record doc"))
