@@ -140,12 +140,18 @@ object Dedup {
         .minhashSignatureNative(col("sh"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band key = hash of the band's slice of the signature; the join carries
-    // ONLY (band, bucket, id) — signatures re-join after pair dedup, so the
-    // shuffle stays narrow even when buckets collide heavily
-    val banded0 = withSig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(b, to_json(struct(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
+    // band key = xxhash64 over (band, the band's signature slots) — pure
+    // long-hash codegen, no string/JSON serialization per (doc, band); the
+    // join carries ONLY (band, bucket, id) — signatures re-join after pair
+    // dedup, so the shuffle stays narrow even when buckets collide heavily.
+    // Band indices are literals, so each slot is an O(1) element_at on the
+    // materialized sig column (NOT the lambda-capture shape that made the
+    // HOF shingle path quadratic).
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand)
+        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+    }
+    val banded0 = withSig.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket)
 
