@@ -121,19 +121,25 @@ object SparkEntry {
         .orderBy("grp", "lang")
     }),
 
-    // aggregation plane: TPC-H Q1-shaped pricing summary (decimal-exact sums)
+    // aggregation plane: TPC-H Q1-shaped pricing summary. Sums are exact in
+    // DECIMAL; the FINAL projection converts to DOUBLE because the driver's
+    // hash layer represents DECIMAL differently between its two readers
+    // (r2 verdict: values bit-identical, hash still red). Conversion is
+    // deterministic on both sides: scale-4 unscaled values here are < 2^53,
+    // so (double)unscaled / 1e4 is the same IEEE op sequence in Spark
+    // (BigDecimal.doubleValue fast path) and DuckDB (hugeint→double, ÷10^4).
+    // sum_disc_price (scale 8) is first reduced to scale 4 — HALF_UP on
+    // positives in both engines — so its unscaled value is < 2^53 too.
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("count_order"),
-          // final decimal sums cast to DuckDB's sum result type decimal(38,4)
-          // (Spark's is decimal(28,4); the driver's hash check is type-sensitive)
-          sum(col("l_quantity").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("decimal(28,8)")).as("sum_disc_price"))
+            .cast("decimal(28,8)")).cast("decimal(38,4)").cast("double").as("sum_disc_price"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -149,7 +155,8 @@ object SparkEntry {
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_price"))
+          // DOUBLE final projection — see q1_agg note (decimal hash-layer issue)
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -158,7 +165,9 @@ object SparkEntry {
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
       orders.groupBy("o_custkey")
-        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("total"),
+        // DOUBLE final projection — see q1_agg note; ordering is unaffected
+        // (scale-4 decimals < 2^53 map injectively + monotonically to double)
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"),
           count(lit(1)).as("n"))
         .join(broadcast(customer), col("o_custkey") === customer("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("total"), col("n"))
@@ -383,13 +392,28 @@ object SparkEntry {
         .toDF("group1", "group2", "statistic", "p_value", "n1", "n2")
     }),
 
-    // drift: chi-square homogeneity of lang across source groups
+    // drift: chi-square homogeneity of lang across source groups.
+    // statistic + dof are DuckDB-oracled (bit-exact: totals are exact
+    // integer-valued doubles, per-cell terms share the IEEE op sequence, and
+    // the ≥0 terms accumulate in the same (g,c)-sorted order via an ordered
+    // window on the oracle side); the gamma-function p-value is not
+    // SQL-expressible — it rides in v_drift_chi2_p (DriftSpec-tested).
     "v_drift_chi2" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
         .withColumn("grp", when(length(col("source")) === 4, lit("a")).otherwise(lit("b")))
       val r = graft.exec.Drift.chiSquareTest(docs, "lang", "grp")
-      Seq((r.statistic, r.dof, r.pValue)).toDF("statistic", "dof", "p_value")
+      Seq((r.statistic, r.dof.toLong)).toDF("statistic", "dof")
+    }),
+
+    // chi-square p-value (regularized incomplete gamma — DriftSpec oracle
+    // against closed forms; no SQL equivalent)
+    "v_drift_chi2_p" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("grp", when(length(col("source")) === 4, lit("a")).otherwise(lit("b")))
+      val r = graft.exec.Drift.chiSquareTest(docs, "lang", "grp")
+      Seq((r.statistic, r.dof.toLong, r.pValue)).toDF("statistic", "dof", "p_value")
     }),
 
     // per-group × per-column stats, fully distributed unpivot (SQL-verifiable)
@@ -493,15 +517,15 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count_order,
-        | sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-        | sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS sum_disc_price
+        | sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE AS sum_base_price,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DECIMAL(38,4))::DOUBLE AS sum_disc_price
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
 
     "q_join_agg" ->
       """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
-        | sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+        | sum(CAST(o_totalprice AS DECIMAL(18,4)))::DOUBLE AS sum_price
         | FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -510,7 +534,7 @@ object SparkEntry {
 
     "q_topk" ->
       """SELECT c_custkey, c_name, total, n FROM (
-        | SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total,
+        | SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4)))::DOUBLE AS total,
         |  CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey) t
         | JOIN customer ON t.o_custkey = c_custkey
         | ORDER BY total DESC, c_custkey LIMIT 10""".stripMargin.replace("\n", " "),
@@ -639,6 +663,29 @@ object SparkEntry {
         | SELECT max(abs(f1::DOUBLE / n1 - f2::DOUBLE / n2)) AS statistic,
         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
         | FROM cum, n GROUP BY n1, n2""".stripMargin.replace("\n", " "),
+
+    // chi-square homogeneity: mirrors Drift.chiSquareFromCounts exactly —
+    // zero-filled group×category grid, e = rowTot*colTot/total per cell,
+    // terms (o−e)²/e accumulated in (g,c) order (ordered-window cumsum;
+    // terms ≥ 0 so max(cumsum) = final sum)
+    "v_drift_chi2" ->
+      """WITH cells AS (
+        |  SELECT CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS g, lang AS c,
+        |   count(*)::DOUBLE AS n FROM documents GROUP BY 1, 2),
+        | gs AS (SELECT DISTINCT g FROM cells), cs AS (SELECT DISTINCT c FROM cells),
+        | filled AS (SELECT gs.g, cs.c, coalesce(cells.n, 0.0) AS n
+        |   FROM gs CROSS JOIN cs LEFT JOIN cells ON gs.g = cells.g AND cs.c = cells.c),
+        | rt AS (SELECT g, sum(n) AS r FROM filled GROUP BY g),
+        | ct AS (SELECT c, sum(n) AS v FROM filled GROUP BY c),
+        | tt AS (SELECT sum(n) AS t FROM filled),
+        | terms AS (SELECT f.g, f.c,
+        |   (f.n - rt.r*ct.v/tt.t)*(f.n - rt.r*ct.v/tt.t)/(rt.r*ct.v/tt.t) AS term
+        |   FROM filled f JOIN rt ON f.g = rt.g JOIN ct ON f.c = ct.c CROSS JOIN tt
+        |   WHERE rt.r*ct.v/tt.t > 0),
+        | cum AS (SELECT sum(term) OVER (ORDER BY g, c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM terms)
+        | SELECT max(s) AS statistic,
+        |  CAST(greatest(1, ((SELECT count(*) FROM gs) - 1) * ((SELECT count(*) FROM cs) - 1)) AS BIGINT) AS dof
+        | FROM cum""".stripMargin.replace("\n", " "),
 
     // language-ID: stopword-count argmax, tie-broken by larger lang code
     // (mirrors greatest(struct(score, lang)) semantics)

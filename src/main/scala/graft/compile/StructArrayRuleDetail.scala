@@ -77,6 +77,36 @@ case class StructArrayRuleDetail(child: Expression, rules: Seq[DetailRule])
       k -> fs.map(UTF8String.fromString).toArray
     }.toMap
 
+  // ---- per-element loop state, hoisted out of evalArray (the production
+  // path runs this per array element per row; building zipWithIndex seqs
+  // or fieldIndex lookups there would dominate the happy path) ----
+  private lazy val rulesArr: Array[DetailRule] = rules.toArray
+  /** Primary field ordinal per rule (-1 for RuleExactlyOne, which has many). */
+  private lazy val ruleOrd: Array[Int] = rulesArr.map(_.rule match {
+    case RuleNotNull(f) => ord(f)
+    case RuleInSet(f, _) => ord(f)
+    case RuleRange(f, _, _) => ord(f)
+    case RuleIncreasing(f) => ord(f)
+    case _: RuleExactlyOne => -1
+  })
+  private lazy val ruleIsLong: Array[Boolean] = rulesArr.map(_.rule match {
+    case RuleRange(f, _, _) => isLongField(f)
+    case RuleIncreasing(f) => isLongField(f)
+    case _ => false
+  })
+  private lazy val oneOfOrds: Array[Array[Int]] = rulesArr.map(_.rule match {
+    case RuleExactlyOne(fs) => fs.map(ord).toArray
+    case _ => null
+  })
+  private lazy val inSetRefs: Array[java.util.HashSet[UTF8String]] =
+    rulesArr.map(_.rule match { case RuleInSet(f, _) => setRefs(f); case _ => null })
+  /** Rule indices of the RuleIncreasing rules (chain state tracked per element). */
+  private lazy val incIdx: Array[Int] =
+    rulesArr.zipWithIndex.collect { case (DetailRule(_: RuleIncreasing, _, _, _, _), k) => k }
+  /** Rule indices of the RuleExactlyOne rules (fire on null elements too). */
+  private lazy val exactlyOneIdx: Array[Int] =
+    rulesArr.zipWithIndex.collect { case (DetailRule(_: RuleExactlyOne, _, _, _, _), k) => k }
+
   private val comma = UTF8String.fromString(",")
 
   private def path(k: Int, i: Int): UTF8String =
@@ -103,49 +133,53 @@ case class StructArrayRuleDetail(child: Expression, rules: Seq[DetailRule])
       if (out == null) out = new java.util.ArrayList[InternalRow](4)
       out.add(r)
     }
-    val incIdx = rules.zipWithIndex.collect { case (DetailRule(r: RuleIncreasing, _, _, _, _), k) => k }
-    val incViolated = Array.fill(incIdx.size)(false)
-    val incPrev = new Array[Long](incIdx.size)
-    val incPrevSet = Array.fill(incIdx.size)(false)
+    val nRules = rulesArr.length
+    val nInc = incIdx.length
+    val incViolated = new Array[Boolean](nInc)
+    val incPrev = new Array[Long](nInc)
+    val incPrevSet = new Array[Boolean](nInc)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (arr.isNullAt(i)) {
-        rules.zipWithIndex.foreach {
-          case (DetailRule(_: RuleExactlyOne, _, _, _, _), k) =>
-            add(vioRow(k, path(k, i), UTF8String.EMPTY_UTF8)) // 0 of N set
-          case _ => ()
+        var e1 = 0
+        while (e1 < exactlyOneIdx.length) { // 0 of N set
+          add(vioRow(exactlyOneIdx(e1), path(exactlyOneIdx(e1), i), UTF8String.EMPTY_UTF8))
+          e1 += 1
         }
         var q = 0
-        while (q < incIdx.size) { incPrevSet(q) = false; q += 1 } // chain break
+        while (q < nInc) { incPrevSet(q) = false; q += 1 } // chain break
       } else {
         val s = arr.getStruct(i, nFields)
-        rules.zipWithIndex.foreach { case (d, k) =>
-          d.rule match {
-            case RuleNotNull(f) =>
-              if (s.isNullAt(ord(f))) add(vioRow(k, path(k, i), consts(k)(3)))
-            case RuleInSet(f, _) =>
-              val o = ord(f)
+        var k = 0
+        while (k < nRules) {
+          rulesArr(k).rule match {
+            case RuleNotNull(_) =>
+              if (s.isNullAt(ruleOrd(k))) add(vioRow(k, path(k, i), consts(k)(3)))
+            case RuleInSet(_, _) =>
+              val o = ruleOrd(k)
               if (!s.isNullAt(o)) {
                 val value = s.getUTF8String(o)
-                if (!setRefs(f).contains(value)) add(vioRow(k, path(k, i), value.clone()))
+                if (!inSetRefs(k).contains(value)) add(vioRow(k, path(k, i), value.clone()))
               }
-            case RuleRange(f, lo, hi) =>
-              val o = ord(f)
+            case RuleRange(_, lo, hi) =>
+              val o = ruleOrd(k)
               if (!s.isNullAt(o)) {
-                val x = if (isLongField(f)) s.getLong(o) else s.getInt(o).toLong
+                val x = if (ruleIsLong(k)) s.getLong(o) else s.getInt(o).toLong
                 if (x < lo || x > hi)
                   add(vioRow(k, path(k, i), UTF8String.fromString(String.valueOf(x))))
               }
-            case RuleExactlyOne(fs) =>
+            case RuleExactlyOne(_) =>
+              val ords = oneOfOrds(k)
               var nn = 0
-              fs.foreach(f => if (!s.isNullAt(ord(f))) nn += 1)
+              var j = 0
+              while (j < ords.length) { if (!s.isNullAt(ords(j))) nn += 1; j += 1 }
               if (nn != 1) {
                 val names = oneOfNames(k)
                 var detail: UTF8String = null
-                var j = 0
-                while (j < fs.size) {
-                  if (!s.isNullAt(ord(fs(j)))) {
+                j = 0
+                while (j < ords.length) {
+                  if (!s.isNullAt(ords(j))) {
                     detail = if (detail == null) names(j)
                       else UTF8String.concat(detail, comma, names(j))
                   }
@@ -156,23 +190,30 @@ case class StructArrayRuleDetail(child: Expression, rules: Seq[DetailRule])
               }
             case _: RuleIncreasing => ()
           }
+          k += 1
         }
-        incIdx.zipWithIndex.foreach { case (k, qi) =>
-          val RuleIncreasing(f) = rules(k).rule: @unchecked
-          val o = ord(f)
+        var qi = 0
+        while (qi < nInc) {
+          val k2 = incIdx(qi)
+          val o = ruleOrd(k2)
           if (!s.isNullAt(o)) {
-            val x = if (isLongField(f)) s.getLong(o) else s.getInt(o).toLong
+            val x = if (ruleIsLong(k2)) s.getLong(o) else s.getInt(o).toLong
             if (incPrevSet(qi) && x <= incPrev(qi)) incViolated(qi) = true
             incPrev(qi) = x
             incPrevSet(qi) = true
           } else incPrevSet(qi) = false
+          qi += 1
         }
       }
       i += 1
     }
-    incIdx.zipWithIndex.foreach { case (k, qi) =>
-      if (incViolated(qi))
+    var qi = 0
+    while (qi < nInc) {
+      if (incViolated(qi)) {
+        val k = incIdx(qi)
         add(vioRow(k, consts(k)(1), consts(k)(3))) // path = array name, once per row
+      }
+      qi += 1
     }
     if (out == null) StructArrayRuleDetail.emptyResult
     else new GenericArrayData(out.toArray)

@@ -127,7 +127,16 @@ object Drift {
         col("n1"), col("n2"))
       .agg(max(col("diff")).as("d"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
       .collect()(0)
-    val (d, n1, n2) = (row.getDouble(0), row.getLong(1).toDouble, row.getLong(2).toDouble)
+    // max over an empty aggregate is NULL → name the problem instead of NPE
+    if (row.isNullAt(1) || row.isNullAt(2))
+      throw new IllegalArgumentException(
+        s"ksTestExact: no non-null '$valueCol' rows for groups '$g1'/'$g2' of '$groupCol'")
+    val (n1, n2) = (row.getLong(1).toDouble, row.getLong(2).toDouble)
+    if (n1 == 0 || n2 == 0)
+      throw new IllegalArgumentException(
+        s"ksTestExact: group '${if (n1 == 0) g1 else g2}' of '$groupCol' has no rows " +
+          s"with non-null '$valueCol' (n1=${n1.toLong}, n2=${n2.toLong})")
+    val d = row.getDouble(0)
     KsResult(g1, g2, d, ksPValue(d, n1, n2), n1, n2)
   }
 
