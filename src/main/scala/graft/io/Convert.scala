@@ -14,8 +14,18 @@ import graft.spec._
 object Convert {
 
   /** Build the Spark read-schema for a spec's root record (all nullable —
-    * requiredness is validated, not enforced by the reader). */
-  def sparkSchema(spec: Spec): StructType = {
+    * requiredness is validated, not enforced by the reader). Field names are
+    * the DECLARED names — the engine-internal shape every compiled plan
+    * addresses. */
+  def sparkSchema(spec: Spec): StructType = schemaFor(spec, external = false)
+
+  /** The JSON-facing twin of [[sparkSchema]]: field/option names are the
+    * effective JSON keys (json-name override honored at every level) — the
+    * shape `from_json` must parse, per the reference's resolve-by-json-name
+    * semantics (`piqobj_of_json.ml:171,241,277`). */
+  def jsonSchema(spec: Spec): StructType = schemaFor(spec, external = true)
+
+  private def schemaFor(spec: Spec, external: Boolean): StructType = {
     val s = spec.resolved
     def dataTypeOf(t: PiqiType): DataType = t match {
       case PBool => BooleanType
@@ -28,21 +38,92 @@ object Convert {
       case TypeRef(n) => s.defTable(n) match {
         case RecordDef(_, fields) => StructType(fields.map(structField))
         case VariantDef(_, options) =>
-          StructType(options.map(o => StructField(o.name,
+          StructType(options.map(o => StructField(
+            if (external) o.jsonKey else o.name,
             o.tpe.map(dataTypeOf).getOrElse(BooleanType), nullable = true)))
         case EnumDef(_, _) => StringType
         case ListDef(_, e, _) => ArrayType(dataTypeOf(e))
         case AliasDef(_, target, _) => dataTypeOf(target)
       }
     }
-    def structField(f: PField): StructField = f.mode match {
-      case Repeated => StructField(f.name, ArrayType(dataTypeOf(f.tpe)), nullable = true)
-      case _ => StructField(f.name, dataTypeOf(f.tpe), nullable = true)
+    def structField(f: PField): StructField = {
+      val nm = if (external) f.jsonKey else f.name
+      f.mode match {
+        case Repeated => StructField(nm, ArrayType(dataTypeOf(f.tpe)), nullable = true)
+        case _ => StructField(nm, dataTypeOf(f.tpe), nullable = true)
+      }
     }
     s.defTable(s.root) match {
       case RecordDef(_, fields) => StructType(fields.map(structField))
       case other => throw new SpecException(s"root must be a record, got $other")
     }
+  }
+
+  // ---------- json-name rename trees ----------
+
+  /** Does `t`'s subtree declare any json-name override? (Guards the struct
+    * rebuilds below — a spec without json-names pays nothing.) */
+  private def hasRenames(t: PiqiType, s: Spec, seen: Set[String] = Set.empty): Boolean = t match {
+    case TypeRef(n) if !seen(n) => s.defTable.get(n).exists {
+      case RecordDef(_, fs) =>
+        fs.exists(f => f.jsonName.isDefined || hasRenames(f.tpe, s, seen + n))
+      case VariantDef(_, os) =>
+        os.exists(o => o.jsonName.isDefined || o.tpe.exists(hasRenames(_, s, seen + n)))
+      case ListDef(_, e, _) => hasRenames(e, s, seen + n)
+      case AliasDef(_, target, _) => hasRenames(target, s, seen + n)
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** Rebuild a value of type `t` renaming struct fields between the declared
+    * (internal) and JSON (external) name spaces. Identity when the subtree
+    * has no json-names. */
+  private def renameTree(c: Column, t: PiqiType, s: Spec, toExternal: Boolean): Column = {
+    if (!hasRenames(t, s)) return c
+    t match {
+      case TypeRef(n) => s.defTable(n) match {
+        case RecordDef(_, fields) =>
+          val rebuilt = struct(fields.map(f => fieldValue(c, f, s, toExternal)
+            .as(if (toExternal) f.jsonKey else f.name)): _*)
+          when(c.isNull, lit(null)).otherwise(rebuilt)
+        case VariantDef(_, options) =>
+          val rebuilt = struct(options.map { o =>
+            val src = c.getField(if (toExternal) o.name else o.jsonKey)
+            o.tpe.map(renameTree(src, _, s, toExternal)).getOrElse(src)
+              .as(if (toExternal) o.jsonKey else o.name)
+          }: _*)
+          when(c.isNull, lit(null)).otherwise(rebuilt)
+        case ListDef(_, elem, _) => transform(c, e => renameTree(e, elem, s, toExternal))
+        case AliasDef(_, target, _) => renameTree(c, target, s, toExternal)
+        case _ => c
+      }
+      case _ => c
+    }
+  }
+
+  /** One record field's renamed value (handles the repeated wrapper). */
+  private def fieldValue(rec: Column, f: PField, s: Spec, toExternal: Boolean): Column =
+    fieldValueFrom(rec.getField(if (toExternal) f.name else f.jsonKey), f, s, toExternal)
+
+  private def fieldValueFrom(src: Column, f: PField, s: Spec, toExternal: Boolean): Column =
+    f.mode match {
+      case Repeated =>
+        if (hasRenames(f.tpe, s)) transform(src, e => renameTree(e, f.tpe, s, toExternal))
+        else src
+      case _ => renameTree(src, f.tpe, s, toExternal)
+    }
+
+  private def rootFields(spec: Spec): Seq[PField] =
+    spec.resolved.defTable(spec.resolved.root) match {
+      case RecordDef(_, fields) => fields
+      case other => throw new SpecException(s"root must be a record, got $other")
+    }
+
+  /** Any json-name anywhere in the spec's root record tree? */
+  private def specHasRenames(spec: Spec): Boolean = {
+    val rs = spec.resolved
+    rootFields(spec).exists(f => f.jsonName.isDefined || hasRenames(f.tpe, rs))
   }
 
   /**
@@ -60,9 +141,11 @@ object Convert {
    */
   def fromJson(jsonDf: DataFrame, jsonCol: String, spec: Spec): DataFrame = {
     val plan = SpecCompiler.compile(spec)
-    val schema = sparkSchema(spec)
+    val rs = spec.resolved
+    // parse BY JSON KEY (json-name honored, `piqobj_of_json.ml:171`), then
+    // project back to declared names — the shape compiled plans address
     val parsed = jsonDf
-      .withColumn("_rec", from_json(col(jsonCol), schema))
+      .withColumn("_rec", from_json(col(jsonCol), jsonSchema(spec)))
       .withColumn("_keys", json_object_keys(col(jsonCol)))
 
     val parseVio = SpecCompiler.vio(
@@ -72,7 +155,7 @@ object Convert {
     val shapeVio = JsonShape.checkKeys(col(jsonCol), spec)
 
     val flat = parsed.select(
-      (schema.fields.map(f => col(s"_rec.${f.name}").as(f.name)) :+
+      (rootFields(spec).map(f => fieldValue(col("_rec"), f, rs, toExternal = false).as(f.name)) :+
         col(jsonCol).as("_raw") :+ parseVio.as("_pv") :+ shapeVio.as("_sv")): _*)
     flat
       .withColumn("violations", concat(col("_pv"), col("_sv"), plan.violations))
@@ -100,7 +183,16 @@ object Convert {
     // no union, no shuffle: the typename dispatch is a column expression
     val branches = registry.toSeq.sortBy(_._1).map { case (name, spec) =>
       val plan = SpecCompiler.compile(spec)
-      val rec = from_json(col(anyCol), sparkSchema(spec))
+      val rs = spec.resolved
+      // parse by JSON key, re-project to declared names for the plan (the
+      // rebuild is skipped entirely for specs without json-names)
+      val rec =
+        if (!specHasRenames(spec)) from_json(col(anyCol), sparkSchema(spec))
+        else {
+          val ext = from_json(col(anyCol), jsonSchema(spec))
+          struct(rootFields(spec)
+            .map(f => fieldValue(ext, f, rs, toExternal = false).as(f.name)): _*)
+        }
       val parseVio = SpecCompiler.vio(
         col(anyCol).isNotNull && json_object_keys(col(anyCol)).isNull,
         "parse:json", "$", col(anyCol))
@@ -121,27 +213,62 @@ object Convert {
    * XML-string ingest with validation — the Spark-4 `from_xml` analog of
    * the reference's `piqobj_of_xml.ml` input path (342 LoC there; element
    * nesting ↔ record fields, repeated elements ↔ arrays, `doc/
-   * encodings.md:168-189`). Unparseable XML → `parse:xml` violation, then
-   * the full compiled constraint pass. XML has no duplicate-key notion and
-   * unknown elements are not enumerable through `from_xml`, so key-shape
-   * checks are JSON-only (documented deviation; the reference warns on
-   * unknown XML elements).
+   * encodings.md:168-189`). Unparseable XML → `parse:xml` violation
+   * (detected via the parser's own corrupt-record column, so a legitimately
+   * EMPTY document over an all-optional schema is NOT a parse failure),
+   * then the full compiled constraint pass.
+   *
+   * XML has no duplicate-key notion, and nested unknown elements are not
+   * enumerable through `from_xml`; a document-level element-NAME scan
+   * (strict mode only) flags any element name outside the spec's legal set
+   * + `rootTag` — covering most of the reference's unknown-XML-element
+   * warning (`piqobj_of_xml.ml:133,184`). A known name in the wrong
+   * position is still not detectable (remaining documented deviation).
    */
-  def fromXml(xmlDf: DataFrame, xmlCol: String, spec: Spec): DataFrame = {
+  def fromXml(xmlDf: DataFrame, xmlCol: String, spec: Spec,
+      rootTag: String = "value"): DataFrame = {
     val plan = SpecCompiler.compile(spec)
     val schema = sparkSchema(spec)
-    val parsed = xmlDf.withColumn("_rec", from_xml(col(xmlCol), schema))
-    // from_xml is PERMISSIVE: garbage input yields an all-null struct
-    val allNull = schema.fields.map(f => col(s"_rec.${f.name}").isNull).reduce(_ && _)
-    val parseVio = SpecCompiler.vio(col(xmlCol).isNotNull && allNull,
+    val probeSchema = schema.add(StructField("_corrupt_record", StringType, nullable = true))
+    val parsed = xmlDf.withColumn("_rec",
+      from_xml(col(xmlCol), probeSchema,
+        java.util.Map.of("mode", "PERMISSIVE", "columnNameOfCorruptRecord", "_corrupt_record")))
+    val parseVio = SpecCompiler.vio(
+      col(xmlCol).isNotNull && col("_rec._corrupt_record").isNotNull,
       "parse:xml", "$", col(xmlCol))
+    // strict: element names outside the spec's legal set → unknown-element
+    // (regex over open tags: "<name"; "</", "<?", "<!--" never match)
+    val elemVio =
+      if (!spec.resolved.strict) SpecCompiler.emptyVio
+      else {
+        val legal = (legalElementNames(spec) + rootTag).toSeq
+        val names = array_distinct(regexp_extract_all(
+          col(xmlCol), lit("<([A-Za-z_][A-Za-z0-9_.-]*)"), lit(1)))
+        val unknown = filter(names, n => !n.isin(legal: _*))
+        SpecCompiler.vio(col(xmlCol).isNotNull && size(unknown) > 0,
+          "unknown-element", "$", concat_ws(",", unknown))
+      }
     val flat = parsed.select(
       (schema.fields.map(f => col(s"_rec.${f.name}").as(f.name)) :+
-        col(xmlCol).as("_raw") :+ parseVio.as("_pv")): _*)
+        col(xmlCol).as("_raw") :+ parseVio.as("_pv") :+ elemVio.as("_ev")): _*)
     flat
-      .withColumn("violations", concat(col("_pv"), plan.violations))
+      .withColumn("violations", concat(col("_pv"), col("_ev"), plan.violations))
       .withColumn("valid", size(col("violations")) === 0)
-      .drop("_pv")
+      .drop("_pv", "_ev")
+  }
+
+  /** Every element name a document of this spec may legally contain: field
+    * names and variant option names of all defs (XML uses declared names). */
+  private def legalElementNames(spec: Spec): Set[String] = {
+    val s = spec.resolved
+    def ofDef(d: TypeDef): Seq[String] = d match {
+      case RecordDef(_, fs) => fs.map(_.name)
+      case VariantDef(_, os) => os.map(_.name)
+      case _ => Nil
+    }
+    (s.defTable.values.flatMap(ofDef) ++
+      s.imports.flatMap(i => i.defTable.values.flatMap(ofDef))).toSet + "item"
+    // "item" is to_xml/from_xml's repeated-element wrapper tag
   }
 
   /**
@@ -169,7 +296,21 @@ object Convert {
       omitMissing: Boolean = true): DataFrame = {
     val base = if (addDefaults) plan.withDefaults(df) else df
     val dataCols = base.columns.filterNot(c => c == "violations" || c == "valid")
-    base.select(to_json(struct(dataCols.map(col): _*),
+    // emit under the JSON keys (`piqobj_to_json.ml:115,151,164`): spec root
+    // fields rename declared → json-name at every level; non-spec passthrough
+    // columns keep their names
+    val s = plan.spec // compile() resolves, so this is the desugared spec
+    val byName = (s.defTable.get(s.root) match {
+      case Some(RecordDef(_, fs)) => fs
+      case _ => Nil
+    }).map(f => f.name -> f).toMap
+    val cols = dataCols.map { cname =>
+      byName.get(cname) match {
+        case Some(f) => fieldValueFrom(col(cname), f, s, toExternal = true).as(f.jsonKey)
+        case None => col(cname)
+      }
+    }
+    base.select(to_json(struct(cols: _*),
       Map("ignoreNullFields" -> omitMissing.toString)).as("json"))
   }
 }

@@ -35,6 +35,16 @@ object JsonShape {
   private val strMap = MapType(StringType, StringType)
   private val strArr = ArrayType(StringType)
 
+  /** One object-level member: the legal JSON key (json-name honored — the
+    * reference resolves fields BY json-name, `piqobj_of_json.ml:171`), the
+    * declared name (violation paths stay in the declared name space), the
+    * type, and whether it is repeated. */
+  private final case class Member(key: String, name: String, tpe: PiqiType,
+      repeated: Boolean)
+
+  private def members(fields: Seq[PField]): Seq[Member] =
+    fields.map(f => Member(f.jsonKey, f.name, f.tpe, f.mode == Repeated))
+
   /** All key-shape violations for a JSON document string against a spec. */
   def checkKeys(jsonCol: Column, spec0: Spec): Column = {
     val spec = spec0.resolved
@@ -42,17 +52,15 @@ object JsonShape {
       case r: RecordDef => r
       case other => throw new SpecException(s"root must be a record, got $other")
     }
-    objectVios(jsonCol, root.fields.map(f => f.name -> f.tpe).toMap,
-      root.fields.collect { case f if f.mode == Repeated => f.name }.toSet,
-      "$", spec)
+    objectVios(jsonCol, members(root.fields), "$", spec)
   }
 
   /** Violations for one object level: key checks + recursion into values. */
-  private def objectVios(objStr: Column, fieldTypes: Map[String, PiqiType],
-      repeatedFields: Set[String], path: String, spec: Spec): Column = {
+  private def objectVios(objStr: Column, ms: Seq[Member], path: String,
+      spec: Spec): Column = {
     val keys = json_object_keys(objStr)
     val keysOrEmpty = coalesce(keys, array().cast(strArr))
-    val knownKeys = fieldTypes.keys.toSeq
+    val knownKeys = ms.map(_.key)
 
     val unknown = filter(keysOrEmpty, k => !k.isin(knownKeys: _*))
     val unknownVio =
@@ -66,9 +74,9 @@ object JsonShape {
       concat_ws(",", dupKeys))
 
     val m = from_json(objStr, strMap)
-    val subVios: Seq[Column] = fieldTypes.toSeq.sortBy(_._1).map { case (name, tpe) =>
-      valueVios(element_at(m, name), tpe, repeated = repeatedFields(name),
-        s"$path.$name", spec)
+    val subVios: Seq[Column] = ms.sortBy(_.key).map { mem =>
+      valueVios(element_at(m, mem.key), mem.tpe, repeated = mem.repeated,
+        s"$path.${mem.name}", spec)
     }
     SpecCompiler.concatVios(unknownVio +: dupVio +: subVios)
   }
@@ -83,13 +91,14 @@ object JsonShape {
         case RecordDef(_, fields) =>
           recordValueVios(valStr, present, fields, path, spec)
         case VariantDef(_, options) =>
-          // variant object: option names are the only legal keys; recurse
+          // variant object: option JSON keys are the only legal keys; recurse
           // into record-typed option payloads
-          val types = options.map(o => o.name -> o.tpe.getOrElse(PBool)).toMap
+          val ms = options.map(o =>
+            Member(o.jsonKey, o.name, o.tpe.getOrElse(PBool), repeated = false))
           val shape = SpecCompiler.vio(present && json_object_keys(valStr).isNull,
             "parse:object-expected", path, valStr)
           concat(shape, when(present && json_object_keys(valStr).isNotNull,
-            objectVios(valStr, types, Set.empty, path, spec))
+            objectVios(valStr, ms, path, spec))
             .otherwise(SpecCompiler.emptyVio))
         case ListDef(_, elem, _) =>
           arrayVios(valStr, present, elem, path, spec)
@@ -104,8 +113,7 @@ object JsonShape {
     val shape = SpecCompiler.vio(present && json_object_keys(valStr).isNull,
       "parse:object-expected", path, valStr)
     val inner = when(present && json_object_keys(valStr).isNotNull,
-      objectVios(valStr, fields.map(f => f.name -> f.tpe).toMap,
-        fields.collect { case f if f.mode == Repeated => f.name }.toSet, path, spec))
+      objectVios(valStr, members(fields), path, spec))
       .otherwise(SpecCompiler.emptyVio)
     concat(shape, inner)
   }

@@ -116,10 +116,22 @@ object Dedup {
    *
    * `maxBucket` bounds any (band,bucket)'s candidate contribution (see
    * [[capBuckets]]); 0 disables the cap.
+   *
+   * `materialize` (default true) EAGERLY executes the job at call time:
+   * signatures are persisted for the three consumers, the (small) verified
+   * pair set is `localCheckpoint`ed, and the signature cache is released
+   * before returning — the right lifecycle for a shared long-lived session.
+   * NOTE the non-reliable semantics: localCheckpoint blocks live only on
+   * executors, so under dynamic allocation / executor loss a lost block
+   * fails downstream actions. On a real cluster pass `materialize = false`
+   * to get the LAZY plan (signatures recomputed per consumer, nothing
+   * cached) and write the result to storage yourself — pairs-to-table is
+   * the durable equivalent of the checkpoint.
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
-      threshold: Double = 0.7, maxBucket: Int = 100000): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 100000,
+      materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // two-step projection: shingle hashes materialize ONCE, then 32 permuted
@@ -132,13 +144,13 @@ object Dedup {
     // AND the two verification re-joins — without this the sig expression
     // re-executes per consumer (measured 3× cost). At warehouse scale this
     // is the step you would write to storage; MEMORY_AND_DISK is the
-    // local-mode equivalent (narrow: id + numHashes longs per doc). The
-    // result is localCheckpoint'ed + the signature table unpersisted before
-    // returning, so a long-lived session does not accumulate pinned cache.
-    val withSig = withSh.select(col("id"),
+    // local-mode equivalent (narrow: id + numHashes longs per doc).
+    val withSig0 = withSh.select(col("id"),
       graft.functions.HashExpressions
         .minhashSignatureNative(col("sh"), numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig =
+      if (materialize) withSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else withSig0
 
     // band key = xxhash64 over (band, the band's signature slots) — pure
     // long-hash codegen, no string/JSON serialization per (doc, band); the
@@ -170,13 +182,17 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast(DoubleType) / lit(numHashes))
       .where(col("sig_sim") >= threshold)
       .select("id_a", "id_b", "sig_sim")
-    // eager local checkpoint materializes the (small) pair set and truncates
-    // lineage, so the signature cache can be released NOW instead of leaking
-    // pinned storage across a shared session (checkpoint blocks are
-    // GC-managed by the ContextCleaner, unlike persist which pins forever)
-    val out = verified.localCheckpoint(true)
-    withSig.unpersist()
-    out
+    if (!materialize) verified
+    else {
+      // eager local checkpoint materializes the (small) pair set and
+      // truncates lineage, so the signature cache can be released NOW
+      // instead of leaking pinned storage across a shared session
+      // (checkpoint blocks are GC-managed by the ContextCleaner, unlike
+      // persist which pins forever)
+      val out = verified.localCheckpoint(true)
+      withSig.unpersist()
+      out
+    }
   }
 
   /**

@@ -81,10 +81,19 @@ final case class PField(
     mode: FieldMode = Required,
     constraints: Seq[Constraint] = Nil,
     jsonName: Option[String] = None,
-    deprecated: Boolean = false)
+    deprecated: Boolean = false) {
+  /** Effective JSON key: fields are resolved BY json-name on input and
+    * emitted under it (`piqobj_of_json.ml:171`, `piqobj_to_json.ml:115`). */
+  def jsonKey: String = jsonName.getOrElse(name)
+}
 
-/** A variant option (`piqi/piqi.piqi:187-217`). Options may carry no type (enum-like). */
-final case class POption(name: String, tpe: Option[PiqiType] = None)
+/** A variant option (`piqi/piqi.piqi:187-217`). Options may carry no type
+  * (enum-like). `jsonName` overrides the JSON key, like fields
+  * (`piqobj_of_json.ml:241,277` resolve options by json-name). */
+final case class POption(name: String, tpe: Option[PiqiType] = None,
+    jsonName: Option[String] = None) {
+  def jsonKey: String = jsonName.getOrElse(name)
+}
 
 /** Typedefs (`piqi/piqi.piqi:91-105`). */
 sealed trait TypeDef { def name: String }
@@ -158,13 +167,23 @@ final case class Spec(
     })
   }
 
-  /** Desugared copy: flags become optional bool default false (`piqi.ml:663-682`). */
+  /** Desugared copy: flags become optional bool default false
+    * (`piqi.ml:663-682`); default literals normalize to the canonical JSON
+    * scalar domain (Int → Long, Float → Double) so compiled plans and the
+    * SpecJson blob see one representation. */
   lazy val resolved: Spec = {
+    def norm(v: Any): Any = v match {
+      case i: Int => i.toLong
+      case f: Float => f.toDouble
+      case other => other
+    }
     val newDefs = defs.map {
       case RecordDef(n, fs) =>
         RecordDef(n, fs.map {
           case f @ PField(_, _, Flag, _, _, _) =>
             f.copy(tpe = PBool, mode = Optional(Some(false)))
+          case f @ PField(_, _, Optional(Some(d)), _, _, _) =>
+            f.copy(mode = Optional(Some(norm(d))))
           case f => f
         })
       case d => d
@@ -187,7 +206,7 @@ object SpecChecks {
 
   def checkAll(s: Spec): Unit = {
     checkDupTypeNames(s)
-    s.defs.foreach(checkDef)
+    s.defs.foreach(d => checkDef(s, d))
     checkRootExists(s)
     checkNoInfiniteTypes(s)
   }
@@ -199,29 +218,81 @@ object SpecChecks {
   }
 
   /** check_field / check_record / check_variant / check_enum (`piqi.ml:216-314`). */
-  private def checkDef(d: TypeDef): Unit = d match {
+  private def checkDef(s: Spec, d: TypeDef): Unit = d match {
     case RecordDef(n, fields) =>
       if (fields.isEmpty) fail(s"record $n: must have at least one field")
       val dups = fields.groupBy(_.name).filter(_._2.size > 1).keys
       if (dups.nonEmpty) fail(s"record $n: duplicate field names: ${dups.mkString(", ")}")
+      // effective JSON keys must be unique too (json-name may collide with
+      // another field's name or json-name — the reference resolves fields BY
+      // json-name, `piqobj_of_json.ml:171`, so a collision is ambiguous)
+      val keyDups = fields.groupBy(f => f.jsonName.getOrElse(f.name))
+        .filter(_._2.size > 1).keys
+      if (keyDups.nonEmpty) fail(s"record $n: duplicate JSON keys: ${keyDups.mkString(", ")}")
       fields.foreach { f =>
-        // defaults only allowed on optional fields (`piqi.ml:236-238`)
+        if (f.name.isEmpty) fail(s"record $n: field must have a name")
+        // default literal must parse against the field's type at schema
+        // load, like the reference (`piqi.ml:568-615`) — not blow up (or
+        // silently coerce) inside coalesce(col, lit(d)) at run time
         f.mode match {
-          case Required | Repeated =>
-            () // no default slot exists on these modes in our ADT
+          case Optional(Some(dft)) => checkDefaultLiteral(s, n, f.name, f.tpe, dft)
           case _ => ()
         }
-        if (f.name.isEmpty) fail(s"record $n: field must have a name")
       }
     case VariantDef(n, options) =>
       if (options.isEmpty) fail(s"variant $n: must have at least one option") // piqi.ml:266-272
       val dups = options.groupBy(_.name).filter(_._2.size > 1).keys
       if (dups.nonEmpty) fail(s"variant $n: duplicate option names: ${dups.mkString(", ")}")
+      val keyDups = options.groupBy(o => o.jsonName.getOrElse(o.name))
+        .filter(_._2.size > 1).keys
+      if (keyDups.nonEmpty) fail(s"variant $n: duplicate JSON keys: ${keyDups.mkString(", ")}")
     case EnumDef(n, options) =>
       if (options.isEmpty) fail(s"enum $n: must have at least one option") // piqi.ml:289-295
       val dups = options.groupBy(identity).filter(_._2.size > 1).keys
       if (dups.nonEmpty) fail(s"enum $n: duplicate options: ${dups.mkString(", ")}")
     case _: ListDef | _: AliasDef => ()
+  }
+
+  /** Type-check a default literal against the field's RESOLVED base type —
+    * the `parse_default`-at-schema-load analog (`piqi.ml:568-615`). Unknown
+    * TypeRef targets are skipped here (checkNoInfiniteTypes reports them). */
+  private def checkDefaultLiteral(s: Spec, rec: String, fld: String,
+      tpe: PiqiType, dft: Any, seen: Set[String] = Set.empty): Unit = {
+    def bad(expected: String): Nothing =
+      fail(s"record $rec: field $fld: default literal " +
+        s"${dft.getClass.getSimpleName}(${dft}) does not match $expected")
+    tpe match {
+      case PBool => if (!dft.isInstanceOf[Boolean]) bad("bool")
+      case PInt(lo, hi) => dft match {
+        case i: Int => if (i < lo || i > hi) bad(s"int range [$lo,$hi]")
+        case l: Long => if (l < lo || l > hi) bad(s"int range [$lo,$hi]")
+        case _ => bad("int")
+      }
+      case PFloat | PFloat32 => dft match {
+        case _: Double | _: Float | _: Int | _: Long => ()
+        case _ => bad("float")
+      }
+      case PString => if (!dft.isInstanceOf[String]) bad("string")
+      case PBinary => dft match {
+        case _: Array[Byte] | _: String => () // String = base64 form
+        case _ => bad("binary (bytes or base64 string)")
+      }
+      case PAny => if (!dft.isInstanceOf[String]) bad("any (raw JSON string)")
+      case TypeRef(n) if !seen(n) => s.defTable.get(n) match {
+        case Some(AliasDef(_, target, _)) =>
+          checkDefaultLiteral(s, rec, fld, target, dft, seen + n)
+        case Some(EnumDef(_, opts)) => dft match {
+          case v: String =>
+            if (!opts.contains(v)) bad(s"enum $n member (${opts.mkString("|")})")
+          case _ => bad(s"enum $n member")
+        }
+        case Some(other) =>
+          fail(s"record $rec: field $fld: default literals are not supported " +
+            s"on ${other.getClass.getSimpleName.stripSuffix("Def").toLowerCase} types")
+        case None => () // unknown type: reported by checkNoInfiniteTypes
+      }
+      case _ => ()
+    }
   }
 
   private def checkRootExists(s: Spec): Unit =

@@ -10,12 +10,14 @@ import scala.jdk.CollectionConverters._
  * `piqilib/piqi_compile.ml`): the compiled schema serialized so another
  * process (or a later resumed run) can reload exactly the plan that
  * produced an output. Round-trips structurally: `fromJson(toJson(s)) == s`
- * (deserialization re-runs all SpecChecks, like `piqi compile` re-checking
- * loaded modules).
- *
- * Default literals support the JSON scalar domain (boolean / long / double /
- * string) — the same domain piqi default literals inhabit after parsing
- * (`piqi.ml:568-615`).
+ * for specs whose default literals are in the canonical JSON scalar domain
+ * (boolean / long / double / string — the same domain piqi default literals
+ * inhabit after parsing, `piqi.ml:568-615`). Int/Float defaults serialize
+ * widened to long/double — the form [[Spec.resolved]] normalizes to — so
+ * for those `toJson(fromJson(toJson(s))) == toJson(s)` (canonical-form
+ * round-trip; the checkpoint fingerprint compares these JSON strings).
+ * Deserialization re-runs all SpecChecks, like `piqi compile` re-checking
+ * loaded modules.
  */
 object SpecJson {
 
@@ -107,6 +109,7 @@ object SpecJson {
         os.foreach { op =>
           val oo = mapper.createObjectNode(); oo.put("name", op.name)
           op.tpe.foreach(t => oo.set[ObjectNode]("type", typeNode(t)))
+          op.jsonName.foreach(oo.put("jsonName", _))
           a.add(oo)
         }
       case EnumDef(n, os) =>
@@ -206,7 +209,8 @@ object SpecJson {
       n.get("fields").elements().asScala.map(readField).toSeq)
     case "variant" => VariantDef(n.get("name").asText(),
       n.get("options").elements().asScala.map { oo =>
-        POption(oo.get("name").asText(), Option(oo.get("type")).map(readType))
+        POption(oo.get("name").asText(), Option(oo.get("type")).map(readType),
+          Option(oo.get("jsonName")).map(_.asText()))
       }.toSeq)
     case "enum" => EnumDef(n.get("name").asText(),
       n.get("options").elements().asScala.map(_.asText()).toSeq)

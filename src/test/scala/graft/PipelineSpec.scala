@@ -521,4 +521,80 @@ class PipelineSpec extends SparkTestBase {
     q2.awaitTermination(60000)
     assert(spark.read.parquet(outDir).count() === 4)
   }
+
+  test("XML ingest: empty-but-valid vs garbage vs unknown element (B21/B23 narrowed)") {
+    import graft.spec._
+    val spark0 = spark
+    import spark0.implicits._
+    val spec = Spec("x", Seq(RecordDef("doc", Seq(
+      PField("a", PString, Optional()),
+      PField("b", PInt.int64, Optional())))), "doc", strict = true)
+    val rows = Seq(
+      "<value><a>hi</a></value>",
+      "<value/>",                    // empty but valid: all-optional schema
+      "not xml at all",              // garbage → parse:xml
+      "<value><zzz>1</zzz></value>") // unknown element (strict)
+    val out = Convert.fromXml(rows.toDF("xml"), "xml", spec)
+      .select(col("_raw"), col("violations.rule")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(out(rows(0)) === Set.empty)
+    assert(out(rows(1)) === Set.empty, "empty document must not be a parse failure")
+    assert(out(rows(2)).contains("parse:xml"))
+    assert(out(rows(3)).contains("unknown-element"))
+  }
+
+  test("json-name: parse by JSON key at every level, emit under it, declared name unknown under strict") {
+    import graft.spec._
+    val spark0 = spark
+    import spark0.implicits._
+    val spec = Spec(
+      module = "jn",
+      defs = Seq(
+        RecordDef("inner", Seq(
+          PField("deep_val", PInt.int32, Required, jsonName = Some("deepVal")))),
+        VariantDef("pay", Seq(
+          POption("a_num", Some(PInt.int64), jsonName = Some("aNum")),
+          POption("tagged"))),
+        RecordDef("doc", Seq(
+          PField("doc_id", PInt.int64, Required),
+          PField("full_text", PString, Required, jsonName = Some("fullText")),
+          PField("nested", TypeRef("inner"), Optional()),
+          PField("items", TypeRef("inner"), Repeated, jsonName = Some("itemList")),
+          PField("p", TypeRef("pay"), Optional())))),
+      root = "doc", strict = true)
+
+    val good = """{"doc_id":1,"fullText":"hi","nested":{"deepVal":7},""" +
+      """"itemList":[{"deepVal":1},{"deepVal":2}],"p":{"aNum":9}}"""
+    val declared = """{"doc_id":2,"full_text":"hi"}""" // declared name is NOT a legal key
+    val out = Convert.fromJson(Seq(good, declared).toDF("json"), "json", spec)
+      .select(col("_raw"), col("violations.rule"), col("full_text"),
+        col("nested.deep_val"), col("items"), col("p.a_num"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    // good doc: zero violations, values land under DECLARED column names
+    assert(out(good).getSeq[String](1) === Seq.empty)
+    assert(out(good).getString(2) === "hi")
+    assert(out(good).getLong(3) === 7L)
+    assert(out(good).getSeq[org.apache.spark.sql.Row](4).map(_.getLong(0)) === Seq(1L, 2L))
+    assert(out(good).getLong(5) === 9L)
+
+    // declared-name doc: full_text is an unknown key (strict) AND the field
+    // is missing (it was not provided under its JSON key)
+    val rules = out(declared).getSeq[String](1).toSet
+    assert(rules === Set("unknown-field", "missing-field:full_text"))
+
+    // emit: JSON keys come back out (piqobj_to_json.ml:115,151,164)
+    val plan = SpecCompiler.compile(spec)
+    val parsed = Convert.fromJson(Seq(good).toDF("json"), "json", spec)
+      .select("doc_id", "full_text", "nested", "items", "p")
+    val emitted = Convert.toJson(parsed, plan).collect()(0).getString(0)
+    assert(emitted.contains("\"fullText\"") && emitted.contains("\"deepVal\"") &&
+      emitted.contains("\"itemList\"") && emitted.contains("\"aNum\""))
+    assert(!emitted.contains("full_text") && !emitted.contains("deep_val") &&
+      !emitted.contains("a_num"))
+
+    // roundtrip: emitted JSON re-ingests clean under the same strict spec
+    val back = Convert.fromJson(Seq(emitted).toDF("json"), "json", spec)
+    assert(back.select("valid").collect()(0).getBoolean(0))
+  }
 }

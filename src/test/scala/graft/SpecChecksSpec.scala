@@ -114,4 +114,62 @@ class SpecChecksSpec extends AnyFunSuite {
       assert(SpecJson.toJson(back) === json) // stable re-serialization
     }
   }
+
+  test("S7: default literals type-checked at schema load (piqi.ml:568-615 analog)") {
+    // string default on an int field
+    val e1 = intercept[SpecException] {
+      Spec("m", Seq(rec("r", PField("n", PInt.int32, Optional(Some("oops"))))), "r")
+    }
+    assert(e1.getMessage.contains("default"))
+    // enum non-member default
+    val e2 = intercept[SpecException] {
+      Spec("m", Seq(EnumDef("c", Seq("red", "green")),
+        rec("r", PField("col", TypeRef("c"), Optional(Some("blue"))))), "r")
+    }
+    assert(e2.getMessage.contains("enum"))
+    // out-of-range int default
+    intercept[SpecException] {
+      Spec("m", Seq(rec("r", PField("n", PInt(0, 10), Optional(Some(11L))))), "r")
+    }
+    // type resolved THROUGH an alias chain
+    intercept[SpecException] {
+      Spec("m", Seq(AliasDef("port", PInt(1, 65535)),
+        rec("r", PField("p", TypeRef("port"), Optional(Some(true))))), "r")
+    }
+    // defaults on record/variant/list types are unsupported
+    intercept[SpecException] {
+      Spec("m", Seq(rec("sub", PField("k", PString)),
+        rec("r", PField("s", TypeRef("sub"), Optional(Some("x"))))), "r")
+    }
+    // valid ones construct fine: enum member, in-range via alias, bool,
+    // int-literal float (widened by resolved)
+    Spec("m", Seq(EnumDef("c", Seq("red")), AliasDef("port", PInt(1, 65535)),
+      rec("r",
+        PField("col", TypeRef("c"), Optional(Some("red"))),
+        PField("p", TypeRef("port"), Optional(Some(80))),
+        PField("b", PBool, Optional(Some(false))),
+        PField("x", PFloat, Optional(Some(2))))), "r")
+  }
+
+  test("S8: Int/Float default literals normalize to Long/Double in resolved") {
+    val s = Spec("m", Seq(rec("r",
+      PField("n", PInt.int32, Optional(Some(3))),
+      PField("x", PFloat, Optional(Some(1.5f))))), "r")
+    val fs = s.resolved.defs.collect { case RecordDef(_, f) => f }.flatten
+    assert(fs.find(_.name == "n").get.mode === Optional(Some(3L)))
+    assert(fs.find(_.name == "x").get.mode === Optional(Some(1.5d)))
+  }
+
+  test("S9: duplicate effective JSON keys rejected (field and variant-option)") {
+    val e = intercept[SpecException] {
+      Spec("m", Seq(rec("r",
+        PField("a", PString), PField("b", PString, jsonName = Some("a")))), "r")
+    }
+    assert(e.getMessage.contains("JSON keys"))
+    intercept[SpecException] {
+      Spec("m", Seq(VariantDef("v", Seq(
+          POption("x"), POption("y", None, Some("x")))),
+        rec("r", PField("p", TypeRef("v")))), "r")
+    }
+  }
 }
