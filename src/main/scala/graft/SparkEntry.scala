@@ -360,7 +360,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // multimodal plumbing: stub decode over synthetic binary payloads
+    // multimodal: REAL PNG (ImageIO) / WAV (AudioSystem) decode + labeled
+    // video-container stub, over synthetic payloads with null + poison rows.
+    // Oracled: mime/ok/count/dims are closed-form in the generator ids
+    // (ok ⇔ not null (id%50) and not poison (id%7)); feature VALUES are
+    // pinned by PipelineSpec (true pixel dims, PCM stats, determinism).
     "m_features" -> ((s, dir) => {
       val media = graft.ops.Multimodal.synthesizeMedia(s, 2000)
       graft.ops.Multimodal.extractFeatures(media).toDF()
@@ -663,6 +667,17 @@ object SparkEntry {
         | SELECT max(abs(f1::DOUBLE / n1 - f2::DOUBLE / n2)) AS statistic,
         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
         | FROM cum, n GROUP BY n1, n2""".stripMargin.replace("\n", " "),
+
+    // decode outcome is a closed form over the generator ids: null payload
+    // at id%50==0, poison at id%7==0, mime = id%3; feat_dim = 16 iff ok
+    "m_features" ->
+      """SELECT mime, ok, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN ok THEN 16 ELSE 0 END) AS BIGINT) AS dims
+        | FROM (SELECT
+        |   CASE id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |   (id % 50 <> 0 AND id % 7 <> 0) AS ok
+        |  FROM generate_series(0, 1999) AS t(id))
+        | GROUP BY mime, ok ORDER BY mime, ok""".stripMargin.replace("\n", " "),
 
     // chi-square homogeneity: mirrors Drift.chiSquareFromCounts exactly —
     // zero-filled group×category grid, e = rowTot*colTot/total per cell,

@@ -1,6 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -11,12 +16,14 @@ import org.apache.spark.sql.types._
  * `doc/piqi.md:404-415`), and decode/feature-extraction runs as a
  * batched per-partition map.
  *
- * NOTE ON THE STUB: this container has no image/audio codecs, so the
- * actual decode step is a clearly-marked deterministic fake
- * ([[stubDecode]]). Everything AROUND it — the schema, the partition-wise
- * batched execution shape, null/poison-payload handling, the feature
- * column contract — is real and tested. Swapping in a real decoder means
- * replacing ONE function body.
+ * Decoders are REAL for the formats the JDK ships codecs for:
+ *  - `image/png` — `javax.imageio.ImageIO` (true width/height/pixel stats);
+ *  - `audio/wav` — `javax.sound.sampled.AudioSystem` (true sample
+ *    rate/channel/PCM stats).
+ * `video/mp4` has no JDK codec; those payloads use a clearly-labeled
+ * synthetic container ([[VideoStub]]: magic + frame count) whose "decode"
+ * validates the magic and derives deterministic pseudo-features — the one
+ * remaining stub, with the poison/null paths as real as the others.
  */
 object Multimodal {
 
@@ -29,39 +36,195 @@ object Multimodal {
     StructField("duration_ms", IntegerType, nullable = true) // audio/video
   ))
 
-  /** Deterministic synthetic media table (payload bytes derived from the ref). */
+  final case class MediaRow(media_ref: String, mime: String, payload: Array[Byte],
+      width: Option[Int], height: Option[Int], duration_ms: Option[Int])
+
+  /** Deterministic tiny RGB image for id: pixels are a pure function of
+    * (id, x, y), so the encoded PNG — and every decoded feature — is stable
+    * across runs and partitionings. */
+  private[ops] def makePng(id: Long): (Array[Byte], Int, Int) = {
+    val w = 8 + (id % 16).toInt * 4
+    val h = 8 + (id % 12).toInt * 4
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 3 + y * 29) % 256).toInt
+        val b = ((id * 53 + x * 11 + y * 5) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    (bos.toByteArray, w, h)
+  }
+
+  /** Deterministic mono 16-bit 8 kHz PCM WAV for id. */
+  private[ops] def makeWav(id: Long): (Array[Byte], Int) = {
+    val n = 16 + (id % 32).toInt * 8
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((id * 31 + i * 17) % 2000 - 1000).toShort
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    (bos.toByteArray, n * 1000 / 8000)
+  }
+
+  /** Synthetic video container — LABELED STUB (no JDK video codec exists):
+    * 8-byte magic + big-endian frame count + deterministic filler bytes. */
+  private[ops] object VideoStub {
+    val Magic: Array[Byte] = "GRAFTVID".getBytes("US-ASCII")
+    def make(id: Long): (Array[Byte], Int) = {
+      val frames = (id % 750).toInt + 25
+      val filler = 32 + (id % 64).toInt
+      val out = new Array[Byte](12 + filler)
+      System.arraycopy(Magic, 0, out, 0, 8)
+      out(8) = (frames >> 24).toByte; out(9) = (frames >> 16).toByte
+      out(10) = (frames >> 8).toByte; out(11) = frames.toByte
+      var i = 0
+      while (i < filler) { out(12 + i) = ((id * 131 + i * 7) % 256).toByte; i += 1 }
+      (out, frames * 40) // 25 fps
+    }
+    def frames(payload: Array[Byte]): Int = {
+      if (payload.length < 12) throw new IllegalArgumentException("truncated video container")
+      var i = 0
+      while (i < 8) {
+        if (payload(i) != Magic(i)) throw new IllegalArgumentException("bad video magic")
+        i += 1
+      }
+      ((payload(8) & 0xff) << 24) | ((payload(9) & 0xff) << 16) |
+        ((payload(10) & 0xff) << 8) | (payload(11) & 0xff)
+    }
+  }
+
+  /**
+   * Deterministic synthetic media table with REAL payload bytes: PNG for
+   * images, WAV for audio, [[VideoStub]] containers for video. Every 50th
+   * row has a NULL payload (missing blob); every 7th a POISON payload (the
+   * real bytes truncated to 8 — fails every decoder). Metadata columns
+   * carry the true decoded values (width/height for images, duration for
+   * audio/video).
+   */
   def synthesizeMedia(spark: SparkSession, n: Long, numPartitions: Int = 8): DataFrame = {
-    val mimes = array(lit("image/png"), lit("audio/wav"), lit("video/mp4"))
-    spark.range(0, n, 1, numPartitions)
-      .select(
-        concat(lit("m-"), col("id").cast(StringType)).as("media_ref"),
-        element_at(mimes, pmod(col("id"), lit(3)).cast(IntegerType) + 1).as("mime"),
-        // payload: deterministic pseudo-bytes; ~1/50 rows null (missing blob)
-        when(pmod(col("id"), lit(50)) === 0, lit(null).cast(BinaryType))
-          .otherwise(unhex(sha2(concat(lit("payload-"), col("id").cast(StringType)), 256)))
-          .as("payload"),
-        when(pmod(col("id"), lit(3)) === 0, (pmod(col("id"), lit(64)) * 16 + 16).cast(IntegerType)).as("width"),
-        when(pmod(col("id"), lit(3)) === 0, (pmod(col("id"), lit(48)) * 16 + 16).cast(IntegerType)).as("height"),
-        when(pmod(col("id"), lit(3)) =!= 0, (pmod(col("id"), lit(30000)) + 1000).cast(IntegerType)).as("duration_ms"))
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).as[Long].mapPartitions { it =>
+      ImageIO.setUseCache(false) // no temp-file cache inside executors
+      it.map { id =>
+        val ref = s"m-$id"
+        val (mime, full, w, h, dur) = (id % 3) match {
+          case 0 =>
+            val (bytes, pw, ph) = makePng(id)
+            ("image/png", bytes, Some(pw), Some(ph), None)
+          case 1 =>
+            val (bytes, ms) = makeWav(id)
+            ("audio/wav", bytes, None, None, Some(ms))
+          case _ =>
+            val (bytes, ms) = VideoStub.make(id)
+            ("video/mp4", bytes, None, None, Some(ms))
+        }
+        val payload =
+          if (id % 50 == 0) null
+          else if (id % 7 == 0) java.util.Arrays.copyOf(full, 8) // poison
+          else full
+        MediaRow(ref, mime, payload, w, h, dur)
+      }
+    }.toDF()
   }
 
   final case class MediaFeature(media_ref: String, mime: String, ok: Boolean,
       feat_dim: Int, features: Array[Float], checksum: Long)
 
-  /**
-   * ??? REAL-DECODER SLOT ??? — deterministic fake standing in for
-   * image/audio decode + feature extraction (no codec libs in this
-   * container). Derives a fixed-dim pseudo-feature vector from payload
-   * bytes. Deterministic: same payload → same features.
-   */
-  private def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+  private def pad(vals: Seq[Float], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim && i < vals.length) { out(i) = vals(i); i += 1 }
+    out
+  }
+
+  /** PNG/JPEG decode via ImageIO → [w, h, meanR, meanG, meanB, minLum,
+    * maxLum, stdLum, 0…]. */
+  private def imageFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) throw new IllegalArgumentException("undecodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var minL = Double.MaxValue; var maxL = Double.MinValue
+    var sumL = 0.0; var sumL2 = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val lum = (r + g + b) / 3.0
+        if (lum < minL) minL = lum
+        if (lum > maxL) maxL = lum
+        sumL += lum; sumL2 += lum * lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    val meanL = sumL / n
+    val stdL = math.sqrt(math.max(0.0, sumL2 / n - meanL * meanL))
+    pad(Seq(w.toFloat, h.toFloat, (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+      minL.toFloat, maxL.toFloat, stdL.toFloat), dim)
+  }
+
+  /** WAV decode via AudioSystem → [sampleRate, channels, nSamples, mean,
+    * rms, min, max, zeroCrossings, 0…] (16-bit little-endian PCM). */
+  private def audioFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      var sum = 0.0; var sum2 = 0.0
+      var mn = Double.MaxValue; var mx = Double.MinValue
+      var zc = 0; var prevSign = 0
+      var i = 0
+      while (i < n) {
+        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toDouble
+        sum += s; sum2 += s * s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+        if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+        if (sign != 0) prevSign = sign
+        i += 1
+      }
+      val mean = if (n > 0) sum / n else 0.0
+      val rms = if (n > 0) math.sqrt(sum2 / n) else 0.0
+      pad(Seq(fmt.getSampleRate, fmt.getChannels.toFloat, n.toFloat, mean.toFloat,
+        rms.toFloat, mn.toFloat, mx.toFloat, zc.toFloat), dim)
+    } finally ais.close()
+  }
+
+  /** Video "decode" — the labeled stub path: validates the [[VideoStub]]
+    * container, derives deterministic pseudo-features from the bytes. */
+  private def videoFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val frames = VideoStub.frames(payload)
+    val out = new Array[Float](dim)
+    out(0) = frames.toFloat
+    out(1) = payload.length.toFloat
     var h = 1125899906842597L
     var i = 0
     while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    i = 0
+    i = 2
     while (i < dim) {
-      h = h * 6364136223846793005L + 1442695040888963407L // SplitMix-ish LCG step
+      h = h * 6364136223846793005L + 1442695040888963407L
       out(i) = ((h >>> 40).toInt % 1000) / 1000.0f
       i += 1
     }
@@ -70,10 +233,11 @@ object Multimodal {
 
   /**
    * Batched feature extraction over payload binaries. The execution shape
-   * is the one a real decoder needs: per-partition iteration in bounded
-   * batches (decoder init cost amortized per batch, memory bounded by
+   * is the one decoders need: per-partition iteration in bounded batches
+   * (decoder init cost amortized per batch, memory bounded by
    * `batchSize × payload`), null payloads short-circuited, per-row failure
-   * isolated (`ok=false`) instead of task failure.
+   * isolated (`ok=false`) instead of task failure — a poison payload (bad
+   * bytes) must never kill a 10^12-row job.
    */
   def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 64): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -81,13 +245,16 @@ object Multimodal {
     media.select(col("media_ref"), col("mime"), col("payload"))
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
+        ImageIO.setUseCache(false) // decoder init, once per partition
         it.grouped(batchSize).flatMap { batch =>
-          // a real decoder would init once per batch here
           batch.iterator.map { case (ref, mime, payload) =>
             if (payload == null) MediaFeature(ref, mime, ok = false, 0, Array.empty, 0L)
             else {
               try {
-                val f = stubDecode(payload, dim)
+                val f =
+                  if (mime.startsWith("image/")) imageFeatures(payload, dim)
+                  else if (mime.startsWith("audio/")) audioFeatures(payload, dim)
+                  else videoFeatures(payload, dim)
                 val checksum = f.foldLeft(17L)((a, v) => a * 31 + java.lang.Float.floatToIntBits(v))
                 MediaFeature(ref, mime, ok = true, dim, f, checksum)
               } catch {

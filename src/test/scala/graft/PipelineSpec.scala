@@ -370,15 +370,28 @@ class PipelineSpec extends SparkTestBase {
     assert(kept === """{"a":"x","b":null,"tag":null}""")
   }
 
-  test("multimodal: feature extraction plumbing — batching, nulls, determinism") {
+  test("multimodal: real PNG/WAV decode, poison/null isolation, determinism") {
     val media = Multimodal.synthesizeMedia(spark, 200, numPartitions = 4)
     val feats = Multimodal.extractFeatures(media, dim = 16, batchSize = 32)
     val rows = feats.collect()
     assert(rows.length === 200)
     val failed = rows.filterNot(_.ok)
-    assert(failed.length === 4) // ids 0,50,100,150 have null payloads
+    // nulls: ids 0,50,100,150 (4); poison (payload truncated to 8 bytes):
+    // id%7==0 minus id 0 which is already null → 28
+    assert(failed.length === 32)
     assert(rows.filter(_.ok).forall(_.features.length === 16))
-    // determinism: second run identical checksums
+    val byRef = rows.map(r => r.media_ref -> r).toMap
+    // REAL ImageIO decode: true pixel dims for id=3 (w = h = 8 + 3*4 = 20)
+    assert(byRef("m-3").features(0) === 20f && byRef("m-3").features(1) === 20f)
+    // REAL WAV decode: 8 kHz mono, 16 + 1*8 = 24 samples for id=1
+    assert(byRef("m-1").features(0) === 8000f)
+    assert(byRef("m-1").features(1) === 1f)
+    assert(byRef("m-1").features(2) === 24f)
+    // labeled video stub: frame count parsed from the container (id=2 → 27)
+    assert(byRef("m-2").features(0) === 27f)
+    // poison payloads fail per-row, not per-task
+    assert(!byRef("m-7").ok && !byRef("m-49").ok)
+    // determinism: second run (different batch shape) identical checksums
     val again = Multimodal.extractFeatures(media, dim = 16, batchSize = 7).collect()
     assert(rows.map(r => r.media_ref -> r.checksum).toMap ===
       again.map(r => r.media_ref -> r.checksum).toMap)
@@ -397,11 +410,13 @@ class PipelineSpec extends SparkTestBase {
     durs.foreach { case (ref, d) =>
       assert(perRef(ref) === (d + 4999) / 5000, s"ref=$ref dur=$d")
     }
-    val resized = Multimodal.resizePlan(media, maxSide = 256).collect()
+    val resized = Multimodal.resizePlan(media, maxSide = 32).collect()
     assert(resized.nonEmpty)
     resized.foreach { r =>
-      assert(math.max(r.getInt(3), r.getInt(4)) <= 256)
+      assert(math.max(r.getInt(3), r.getInt(4)) <= 32)
     }
+    // at least one real downscale happened (PNG dims go up to 68×52)
+    assert(resized.exists(r => r.getInt(3) < r.getInt(1) || r.getInt(4) < r.getInt(2)))
   }
 
   test("streaming: windowed validation summary over file stream") {
