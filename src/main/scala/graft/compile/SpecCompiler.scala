@@ -33,6 +33,9 @@ import graft.spec._
  */
 object SpecCompiler {
 
+  /** 2^64 − 1 as an exact decimal literal (PUInt64 upper bound). */
+  val UInt64Max: java.math.BigDecimal = new java.math.BigDecimal("18446744073709551615")
+
   val violationType: ArrayType = ArrayType(StructType(Seq(
     StructField("rule", StringType),
     StructField("path", StringType),
@@ -150,6 +153,12 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
     val aliasVios = constraintVios(e, c, path, aliasCs)
     val ownVios: Seq[R] = base match {
       case PBool | PFloat | PFloat32 | PString | PBinary | PAny => Nil
+      case PUInt64 =>
+        // full uint64 domain on DecimalType(20,0): 20 digits also hold
+        // values past 2^64−1, so the upper bound is a real check
+        Seq(e.emit(c.isNotNull &&
+            (c < lit(java.math.BigDecimal.ZERO) || c > lit(SpecCompiler.UInt64Max)),
+          s"range:$path", path, c))
       case PInt(lo, hi) =>
         // range checks the reference documents but does not enforce
         // (doc/tools.md:490-493); we enforce (SURVEY.md B9)
@@ -368,6 +377,7 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
             case PInt(lo, hi) =>
               if (lo != Long.MinValue || hi != Long.MaxValue) rules += RuleRange(f2.name, lo, hi)
             case PBool | PFloat | PFloat32 | PString | PBinary | PAny => ()
+            case PUInt64 => return None // decimal compare → generic path
             case TypeRef(_) => resolveDef(b2) match {
               case Some(EnumDef(_, opts)) => rules += RuleInSet(f2.name, opts)
               case _ => return None // nested records/variants/lists → generic

@@ -32,6 +32,7 @@ object Convert {
       case _: PInt => LongType
       case PFloat => DoubleType
       case PFloat32 => FloatType
+      case PUInt64 => DecimalType(20, 0) // full uint64 domain (doc/piqi.md:345-347)
       case PString => StringType
       case PBinary => BinaryType
       case PAny => StringType // raw JSON capture, parsed lazily (piqobj.ml:267-318 analog)

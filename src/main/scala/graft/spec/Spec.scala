@@ -29,9 +29,18 @@ object PInt {
   val int32: PInt = PInt(Int.MinValue.toLong, Int.MaxValue.toLong)
   val uint32: PInt = PInt(0L, 4294967295L)
   val int64: PInt = PInt()
-  /** uint64 capped at Long.MaxValue: LongType repr, per SURVEY.md §1.2. */
+  /** uint capped at Long.MaxValue (LongType repr) — the cheap flavor when
+    * values are known < 2^63; [[PUInt64]] covers the full domain. */
   val uint: PInt = PInt(0L, Long.MaxValue)
+  /** Full-domain uint64 (see [[PUInt64]]). */
+  val uint64: PiqiType = PUInt64
 }
+/**
+ * Full-range uint64 (0 .. 2^64−1, `doc/piqi.md:345-347`): represented as
+ * `DecimalType(20,0)` because LongType cannot hold 2^63..2^64−1. Costs more
+ * than LongType per value — prefer [[PInt.uint]] when the domain permits.
+ */
+case object PUInt64 extends Primitive
 case object PFloat extends Primitive  // IEEE754 double, doc/piqi.md:388-389
 case object PFloat32 extends Primitive // IEEE754 single (`float32`, doc/piqi.md:388-389)
 case object PString extends Primitive // UTF-8 validated, piqilib/piqi_utf8.ml:33-67
@@ -271,6 +280,13 @@ object SpecChecks {
       case PFloat | PFloat32 => dft match {
         case _: Double | _: Float | _: Int | _: Long => ()
         case _ => bad("float")
+      }
+      case PUInt64 => dft match {
+        // default literals stay in the Long-expressible part of the domain
+        // (the canonical SpecJson scalar set); data values get the full range
+        case i: Int => if (i < 0) bad("uint64 (non-negative)")
+        case l: Long => if (l < 0) bad("uint64 (non-negative)")
+        case _ => bad("uint64")
       }
       case PString => if (!dft.isInstanceOf[String]) bad("string")
       case PBinary => dft match {

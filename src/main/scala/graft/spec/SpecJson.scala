@@ -47,6 +47,7 @@ object SpecJson {
       case PInt(lo, hi) => o.put("kind", "int"); o.put("min", lo); o.put("max", hi)
       case PFloat => o.put("kind", "float")
       case PFloat32 => o.put("kind", "float32")
+      case PUInt64 => o.put("kind", "uint64")
       case PString => o.put("kind", "string")
       case PBinary => o.put("kind", "binary")
       case PAny => o.put("kind", "any")
@@ -162,6 +163,7 @@ object SpecJson {
     case "int" => PInt(n.get("min").asLong(), n.get("max").asLong())
     case "float" => PFloat
     case "float32" => PFloat32
+    case "uint64" => PUInt64
     case "string" => PString
     case "binary" => PBinary
     case "any" => PAny

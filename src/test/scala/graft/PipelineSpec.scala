@@ -322,7 +322,33 @@ class PipelineSpec extends SparkTestBase {
     assert(fromX.where(!col("valid")).count() === directInvalid)
   }
 
-  test("float32 fields and the documented uint64 Long cap (SURVEY §1.2 deviations)") {
+  test("PUInt64: full uint64 domain on DecimalType(20,0) (doc/piqi.md:345-347)") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.spec._
+    val spec = Spec("u64", Seq(RecordDef("r", Seq(
+      PField("id", PInt.int64, Required),
+      PField("u", PInt.uint64, Optional())))), "r")
+    assert(Convert.sparkSchema(spec)("u").dataType === org.apache.spark.sql.types.DecimalType(20, 0))
+    val rows = Seq(
+      """{"id":1,"u":9223372036854775808}""",   // 2^63 — past Long.MaxValue
+      """{"id":2,"u":18446744073709551615}""",  // 2^64 − 1 (domain max)
+      """{"id":3,"u":18446744073709551616}""",  // 2^64 → out of range
+      """{"id":4,"u":-1}""")                    // negative → out of range
+    val out = Convert.fromJson(rows.toDF("json"), "json", spec)
+      .select(col("id"), col("u"), col("violations.rule")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getSeq[String](2) === Seq.empty)
+    assert(out(1L).getDecimal(1) === new java.math.BigDecimal("9223372036854775808"))
+    assert(out(2L).getSeq[String](2) === Seq.empty)
+    assert(out(2L).getDecimal(1) === new java.math.BigDecimal("18446744073709551615"))
+    assert(out(3L).getSeq[String](2) === Seq("range:u"))
+    assert(out(4L).getSeq[String](2) === Seq("range:u"))
+    // portable blob carries the kind
+    assert(SpecJson.fromJson(SpecJson.toJson(spec)) === spec)
+  }
+
+  test("float32 fields and the uint-as-Long fast flavor (SURVEY §1.2)") {
     val spark0 = spark
     import spark0.implicits._
     import graft.spec._
