@@ -111,6 +111,48 @@ object Bench {
     val genEfficiency = (genFull / gen8) / widthRatio
     System.err.println(f"[bench] scaling: 8-wide ${thr8}%.0f docs/s, $cpus-wide ${thrFull}%.0f docs/s, eff=$efficiency%.2f (gen control eff=$genEfficiency%.2f)")
 
+    // dedup-plane volume probe: MinHash+LSH and SimHash near-dup over ≥10^6
+    // docs with injected exact-duplicate clusters (4 per 100-id block) and a
+    // 20k-doc degenerate TEMPLATE shard whose buckets the cap must absorb
+    // (an uncapped join would put s²/2 pairs on one reducer). Corpus is
+    // materialized once (untimed, deterministic); both widths alternate in
+    // this JVM like the validate probe.
+    val nDedup = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "1000000").toLong
+    val dedupPath = s"/tmp/graft_bench_dedup_$nDedup"
+    if (!new java.io.File(s"$dedupPath/_SUCCESS").exists()) {
+      graft.tools.DedupCorpus.generate(spark, nDedup, 256)
+        .write.mode("overwrite").parquet(dedupPath)
+    }
+    var dedupPairs = (0L, 0L)
+    def dedupAll(width: Int): Unit = {
+      // bound shuffle width too — the dedup plane is join/agg-heavy, unlike
+      // the validate probe's shuffle-free scan+agg chain
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (width > 0) width.toString else cpus)
+      try {
+        val base = spark.read.parquet(dedupPath)
+        val docs = if (width > 0) base.coalesce(width) else base
+        val mh = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 1.0, maxBucket = 2000).count()
+        val sh = graft.ops.Dedup.simhashNearDups(docs, "doc_id", "text",
+          maxHamming = 3, maxBucket = 2000).count()
+        dedupPairs = (mh, sh)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    }
+    val d8 = scala.collection.mutable.ArrayBuffer[Double]()
+    val dFull = scala.collection.mutable.ArrayBuffer[Double]()
+    dedupAll(8); dedupAll(0) // warm-up
+    for (_ <- 1 to 3) {
+      d8 += timeIt(dedupAll(8))
+      dFull += timeIt(dedupAll(0))
+    }
+    val dedup8 = nDedup / d8.min
+    val dedupFull = nDedup / dFull.min
+    val dedupEfficiency = (dedupFull / dedup8) / widthRatio
+    val expectedPairs = graft.tools.DedupCorpus.expectedClusterPairs(nDedup)
+    System.err.println(f"[bench] dedup: 8-wide ${dedup8}%.0f docs/s, $cpus-wide ${dedupFull}%.0f docs/s, " +
+      f"eff=$dedupEfficiency%.2f; minhash pairs=${dedupPairs._1} (expected clusters $expectedPairs), simhash pairs=${dedupPairs._2}")
+
     // warm-up: one full pass (discard)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val s = try timeIt(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
@@ -134,7 +176,7 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsMed = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":${tFull.min},"validate_docs_per_sec":$thrFull,"validate_docs_per_sec_8wide":$thr8,"scaling_efficiency_8_to_$cpus":$efficiency,"gen_control_docs_per_sec":$genFull,"gen_control_docs_per_sec_8wide":$gen8,"gen_control_scaling_efficiency":$genEfficiency,"host_steal_pct":$stealPct,"trials":3,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":${tFull.min},"validate_docs_per_sec":$thrFull,"validate_docs_per_sec_8wide":$thr8,"scaling_efficiency_8_to_$cpus":$efficiency,"gen_control_docs_per_sec":$genFull,"gen_control_docs_per_sec_8wide":$gen8,"gen_control_scaling_efficiency":$genEfficiency,"dedup_docs":$nDedup,"dedup_docs_per_sec":$dedupFull,"dedup_docs_per_sec_8wide":$dedup8,"dedup_scaling_efficiency":$dedupEfficiency,"dedup_minhash_pairs":${dedupPairs._1},"dedup_expected_cluster_pairs":$expectedPairs,"dedup_simhash_pairs":${dedupPairs._2},"host_steal_pct":$stealPct,"trials":3,"cpus":$cpus}""")
     spark.stop()
   }
 }

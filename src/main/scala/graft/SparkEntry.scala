@@ -367,8 +367,10 @@ object SparkEntry {
     // pinned by PipelineSpec (true pixel dims, PCM stats, determinism).
     "m_features" -> ((s, dir) => {
       val media = graft.ops.Multimodal.synthesizeMedia(s, 2000)
+      // ok rides as BIGINT: the driver's hash layer is only known-safe on
+      // BIGINT/VARCHAR/DOUBLE (the r02 DECIMAL lesson)
       graft.ops.Multimodal.extractFeatures(media).toDF()
-        .groupBy("mime", "ok")
+        .groupBy(col("mime"), col("ok").cast("long").as("ok"))
         .agg(count(lit(1)).as("n"), sum(col("feat_dim")).as("dims"))
         .orderBy("mime", "ok")
     }),
@@ -427,7 +429,11 @@ object SparkEntry {
         .orderBy("source", "column")
     }),
 
-    // piqi-convert analog: docs → JSON emit → JSON ingest → validate → summary
+    // piqi-convert analog: docs → JSON emit → JSON ingest → validate →
+    // summary. Oracled closed-form: 20000 generated docs, corruptEvery=500
+    // → 40 corrupted, each with EXACTLY one injected violation that
+    // survives the JSON roundtrip (unknown enum / negative offset / both
+    // payloads / neither payload — Docs.generate's 4 rotating mutations)
     "c_convert_roundtrip" -> ((s, dir) => {
       val docs = graft.io.Docs.generate(s, 20000, numPartitions = 16, corruptEvery = 500)
       val json = graft.io.Convert.toJson(docs, docsPlan) // omit-missing (B20)
@@ -668,10 +674,16 @@ object SparkEntry {
         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
         | FROM cum, n GROUP BY n1, n2""".stripMargin.replace("\n", " "),
 
+    // closed form in the generator parameters (see the query's comment):
+    // any drift in emit/ingest/shape-check/validate semantics moves a count
+    "c_convert_roundtrip" ->
+      """SELECT CAST(20000 AS BIGINT) AS n_docs, CAST(19960 AS BIGINT) AS n_valid,
+        | CAST(40 AS BIGINT) AS n_invalid, CAST(40 AS BIGINT) AS n_violations""".stripMargin.replace("\n", " "),
+
     // decode outcome is a closed form over the generator ids: null payload
     // at id%50==0, poison at id%7==0, mime = id%3; feat_dim = 16 iff ok
     "m_features" ->
-      """SELECT mime, ok, CAST(count(*) AS BIGINT) AS n,
+      """SELECT mime, CAST(ok AS BIGINT) AS ok, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CASE WHEN ok THEN 16 ELSE 0 END) AS BIGINT) AS dims
         | FROM (SELECT
         |   CASE id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Deterministic synthetic dedup corpus for scale probes (graft.Bench) and
+ * structure tests — text is a pure function of (id, shape parameters):
+ *
+ *  - ids < `degen`: a DEGENERATE TEMPLATE SHARD — all docs share a 24-token
+ *    template plus one of 7 varying tokens. This is the shape that melts an
+ *    uncapped LSH join (every doc lands in the same handful of band
+ *    buckets, s²/2 candidate pairs on one reducer); the probe asserts the
+ *    bucket cap absorbs it.
+ *  - ids ≥ `degen`: per 100-id block, the first `dupsPerBlock` ids carry
+ *    the SAME text (exact-duplicate cluster → C(dupsPerBlock,2) true pairs
+ *    per block); the rest are unique 25-token docs over a 5k-word vocab.
+ */
+object DedupCorpus {
+
+  val DupsPerBlock = 4
+
+  def text(id: Long, degen: Long): String = {
+    if (id < degen) {
+      val sb = new StringBuilder(160)
+      var i = 0
+      while (i < 24) { sb.append("tmpl").append(i).append(' '); i += 1 }
+      sb.append("vary").append(id % 7)
+      sb.toString
+    } else {
+      val seed = if (id % 100 < DupsPerBlock) id - id % 100 else id
+      val sb = new StringBuilder(200)
+      var i = 0
+      while (i < 25) {
+        if (i > 0) sb.append(' ')
+        // nonlinear per-(seed, i) mix — a token linear in the seed makes
+        // whole documents collide pairwise across seeds (one residue
+        // determines all 25 tokens)
+        var x = seed * 2654435761L + i * 1013904223L
+        x ^= x >>> 16; x *= 2246822519L; x ^= x >>> 13
+        sb.append('w').append(java.lang.Math.floorMod(x, 4996L))
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** (doc_id, text) corpus of n docs. */
+  def generate(spark: SparkSession, n: Long, numPartitions: Int,
+      degen: Long = 20000L): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).as[Long]
+      .map(id => (id, text(id, degen)))
+      .toDF("doc_id", "text")
+  }
+
+  /** True exact-duplicate pair count outside the degenerate shard. */
+  def expectedClusterPairs(n: Long, degen: Long = 20000L): Long = {
+    val firstBlock = degen / 100 // degen is a multiple of 100 in probes
+    val lastBlock = (n - 1) / 100
+    val pairsPerFull = DupsPerBlock.toLong * (DupsPerBlock - 1) / 2
+    (firstBlock to lastBlock).map { b =>
+      val k = math.min(DupsPerBlock.toLong, n - b * 100) // trailing partial block
+      math.max(0L, k * (k - 1) / 2)
+    }.sum
+  }
+}

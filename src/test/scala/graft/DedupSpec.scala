@@ -239,4 +239,38 @@ class DedupSpec extends SparkTestBase {
     assert(spark.sharedState.cacheManager.isEmpty,
       "minhashNearDups left a DataFrame pinned in the cache manager")
   }
+
+  test("minhashNearDups materialize=false returns a lazy uncached plan") {
+    val df = corpus(30)
+    val out = Dedup.minhashNearDups(df, "id", "text", numHashes = 32, bands = 8,
+      threshold = 0.9, materialize = false)
+    // building the DataFrame ran no job and cached nothing
+    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(out.count() >= 3) // same result as the eager path
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("scale-probe corpus: cluster pairs exact, degenerate template shard absorbed by the cap") {
+    import graft.tools.DedupCorpus
+    val docs = DedupCorpus.generate(spark, 3000, 8, degen = 500)
+    // cap 50 < any template-shard bucket (~71+ docs per vary-group) but far
+    // above the 4-doc cluster buckets: the probe must COMPLETE and find
+    // exactly the per-block exact-duplicate pairs
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 1.0, maxBucket = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (5 until 30).flatMap { b =>
+      val ids = (0 until DedupCorpus.DupsPerBlock).map(b * 100L + _)
+      for (i <- ids; j <- ids if i < j) yield (i, j)
+    }.toSet
+    assert(mh === expected)
+    assert(mh.size === DedupCorpus.expectedClusterPairs(3000, 500))
+    // simhash (hamming ≤ 3) finds at least every exact cluster pair
+    val sh = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3, maxBucket = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(sh))
+    // and drops the degenerate shard (no pair with both ids < 500 survives a cap of 50)
+    assert(!sh.exists { case (a, b) => a < 500 && b < 500 })
+    assert(!mh.exists { case (a, b) => a < 500 && b < 500 })
+  }
 }
