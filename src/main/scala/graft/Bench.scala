@@ -153,13 +153,19 @@ object Bench {
     System.err.println(f"[bench] dedup: 8-wide ${dedup8}%.0f docs/s, $cpus-wide ${dedupFull}%.0f docs/s, " +
       f"eff=$dedupEfficiency%.2f; minhash pairs=${dedupPairs._1} (expected clusters $expectedPairs), simhash pairs=${dedupPairs._2}")
 
+    // SPARK_GRAFT_SKIP_SWEEP=1 → probes only (cheap window sampling: run
+    // until the gen-control efficiency certifies a quiet window, then keep
+    // that artifact). The driver's per-round run uses the full sweep.
+    val skipSweep = sys.env.get("SPARK_GRAFT_SKIP_SWEEP").contains("1")
+
     // warm-up: one full pass (discard)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    if (!skipSweep) SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val s = try timeIt(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       System.err.println(f"[bench] warmup $name: $s%.2f s")
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = (if (skipSweep) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+      else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
       val trials = (1 to 3).map { _ =>
         try timeIt(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       }

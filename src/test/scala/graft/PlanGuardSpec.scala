@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.exec.ValidationRunner
+
+/**
+ * Physical-plan regression guards: the scale properties the 100-TB design
+ * depends on, pinned as tests so a refactor cannot silently lose them.
+ * (`explain("formatted")` review found these once — PlanAudit; these tests
+ * keep them found.)
+ */
+class PlanGuardSpec extends SparkTestBase {
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val tmpDocs: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planguard").toString
+    graft.io.Docs.generate(spark, 2000, 4)
+      .withColumn("n", length(col("doc_id")))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("filter pushdown + column pruning reach the parquet scan") {
+    val df = spark.read.parquet(tmpDocs)
+      .where(col("doc_id") > "doc-000000000100")
+      .select("doc_id") // projection must prune spans from ReadSchema
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id"),
+      s"filter not pushed to scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("spans"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("validation is a narrow plan: scan -> project -> partial/final agg, no join, no sort") {
+    val docs = spark.read.parquet(tmpDocs).select("doc_id", "spans")
+    val s = physical(ValidationRunner.summary(
+      ValidationRunner.validateCounts(docs, SparkEntry.docsPlan), Seq.empty))
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+      s"validation must not join:\n$s")
+    assert(s.contains("HashAggregate"), "summary should be a hash aggregate")
+    // exactly one exchange: the partial->final aggregate boundary
+    val exchanges = s.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      s.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"validation summary shuffled more than once:\n$s")
+  }
+
+  test("refCheck broadcasts a small catalog and shuffles a huge one") {
+    // disable Catalyst's size-stat auto-broadcast so the test exercises
+    // refCheck's OWN cardinality gate (at real scale, stats are huge and
+    // only the explicit hint broadcasts; here stats are tiny and only the
+    // absence of the hint prevents it)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(tmpDocs).select(col("doc_id"))
+      val catalog = spark.range(100).select(concat(lit("doc-"), col("id")).as("k"))
+      val small = physical(ValidationRunner.refCheck(docs, "doc_id", catalog, "k"))
+      assert(small.contains("BroadcastHashJoin"),
+        s"small catalog must broadcast via the explicit hint:\n$small")
+      val big = physical(ValidationRunner.refCheck(docs, "doc_id", catalog, "k",
+        broadcastMaxRows = 10, catalogRowHint = Some(1000000L)))
+      assert(!big.contains("BroadcastHashJoin"),
+        s"huge catalog must not broadcast (driver OOM at scale):\n$big")
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        s"huge catalog should shuffle-join:\n$big")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("minhash/simhash/embedding near-dup plans contain no cartesian product") {
+    val docs = graft.tools.DedupCorpus.generate(spark, 500, 4, degen = 100)
+    for (df <- Seq(
+        graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.9, materialize = false),
+        graft.ops.Dedup.simhashNearDups(docs, "doc_id", "text"),
+        graft.ops.Dedup.embeddingNearDups(
+          docs.select(col("doc_id"),
+            array(col("doc_id").cast("double"), lit(1.0), lit(2.0)).as("v")),
+          "doc_id", "v"))) {
+      val p = physical(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"near-dup plan went quadratic:\n${p.take(4000)}")
+    }
+  }
+
+  test("q1_agg aggregates with map-side partial aggregation (two HashAggregates, one exchange)") {
+    val dir = "/root/testdata/sf0.001"
+    val p = physical(SparkEntry.queries("q1_agg")(spark, dir))
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final aggregate:\n$p")
+  }
+}
