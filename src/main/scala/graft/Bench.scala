@@ -134,8 +134,11 @@ object Bench {
         val docs = if (width > 0) base.coalesce(width) else base
         val mh = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
           numHashes = 32, bands = 8, threshold = 1.0, maxBucket = 2000).count()
+        // numBlocks=6 → C(6,3)=20 tables keyed on ~32 bits: bucket density
+        // stays sub-1 at volume (k=4's 16-bit keys go quadratic past ~10^6
+        // docs — measured; see simhashNearDups scaladoc)
         val sh = graft.ops.Dedup.simhashNearDups(docs, "doc_id", "text",
-          maxHamming = 3, maxBucket = 2000).count()
+          maxHamming = 3, maxBucket = 2000, numBlocks = 6).count()
         dedupPairs = (mh, sh)
       } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }

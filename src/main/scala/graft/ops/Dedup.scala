@@ -223,26 +223,49 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup pairs with hamming distance ≤ maxHamming, using
-   * block-rotation bucketing (Manku et al., WWW'07 "Detecting
-   * Near-Duplicates for Web Crawling"): split 64 bits into
-   * (maxHamming + 1) blocks; any pair within hamming ≤ maxHamming shares
-   * at least one exact block (pigeonhole), so bucket-join on
-   * (block_index, block_value) finds all such pairs without O(n²).
+   * SimHash near-dup pairs with hamming distance ≤ maxHamming, using the
+   * GENERAL Manku block scheme (Manku/Jain/Sarma, WWW'07 "Detecting
+   * Near-Duplicates for Web Crawling" §3): split 64 bits into `numBlocks`
+   * (k) blocks and bucket on every combination of (k − d) blocks, d =
+   * maxHamming. A pair within hamming ≤ d has its differing bits in ≤ d
+   * blocks, so ≥ k − d blocks agree — in particular the combination made
+   * of those agreeing blocks — so every true pair collides in ≥ 1 table
+   * (recall 1 before caps).
+   *
+   * THE k KNOB IS THE SCALE DIAL. k = d + 1 (the default, combinations of
+   * size 1) keys on ~64/k bits — cheapest explode (k tables) but bucket
+   * density grows as n / 2^(64/k): at d = 3 that is n/65536 docs per
+   * bucket, and the per-bucket s²/2 join work turns quadratic once
+   * n ≫ 10⁶ (measured: a 4M-doc probe ground to minutes). Raising k
+   * widens the key: k = 6, d = 3 keys on 3 blocks ≈ 32 bits —
+   * C(6,3) = 20 tables (20× linear explode) but ~n/2^32 expected bucket
+   * density, which stays sub-1 up to billions of docs. Pick the smallest
+   * k whose key width keeps n / 2^keyBits ≪ cap.
    */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
-    val numBlocks = maxHamming + 1
-    val bitsPerBlock = 64 / numBlocks
+      maxHamming: Int = 3, maxBucket: Int = 100000, numBlocks: Int = 0): DataFrame = {
+    val d = maxHamming
+    val k = if (numBlocks <= 0) d + 1 else numBlocks
+    require(k > d, s"numBlocks ($k) must exceed maxHamming ($d)")
+    require(k <= 16, "numBlocks > 16 gives < 4-bit blocks — raise bits per block instead")
+    val combos = (0 until k).combinations(k - d).toSeq
+    require(combos.size <= 64,
+      s"C($k, ${k - d}) = ${combos.size} tables — too many; lower numBlocks")
+    val bounds = (0 to k).map(i => i * 64 / k) // block i = bits [bounds(i), bounds(i+1))
+    def blockVal(sig: Column, i: Int): Column = {
+      val sh = bounds(i)
+      val width = bounds(i + 1) - sh
+      val extracted = call_function("shiftrightunsigned", sig, lit(sh))
+      if (sh + width >= 64) extracted
+      else extracted.bitwiseAND(lit((1L << width) - 1))
+    }
     val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    val blocked0 = withSig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(numBlocks - 1)), blk => {
-        val sh = blk * bitsPerBlock
-        val width = when(blk === numBlocks - 1, lit(64) - sh).otherwise(lit(bitsPerBlock))
-        // block value: bits [sh, sh+width)
-        call_function("shiftright", col("sig"), sh)
-          .bitwiseAND(call_function("shiftleft", lit(1L), width) - 1)
-      })))
+    // one key per (k−d)-combination: xxhash64 over the combo's block values
+    // (pure long-hash codegen; the join carries (table, key, id, sig))
+    val keys = combos.zipWithIndex.map { case (combo, ci) =>
+      xxhash64((lit(ci.toLong) +: combo.map(i => blockVal(col("sig"), i))): _*)
+    }
+    val blocked0 = withSig.select(col("id"), col("sig"), posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bval")
     val blocked = capBuckets(blocked0, Seq("blk", "bval"), maxBucket)
     val a = blocked.select(col("blk"), col("bval"), col("id").as("id_a"), col("sig").as("sig_a"))

@@ -25,9 +25,48 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "single" :: cores :: docs :: out :: Nil => single(cores.toInt, docs.toLong, out)
+    case "dedup" :: cores :: docs :: out :: Nil => dedupSingle(cores.toInt, docs.toLong, out)
     case "paired" :: docs :: out :: Nil => paired(docs.toLong, out)
     case "report" :: docs :: f8 :: f32 :: out :: Nil => report(docs.toLong, f8, f32, out)
-    case other => sys.error(s"usage: single <cores> <docs> <outJson> | paired <docs> <outMd> | report <docs> <thr8Json> <thr32Json> <outMd>; got $other")
+    case other => sys.error(s"usage: single <cores> <docs> <outJson> | dedup <cores> <docs> <outJson> | paired <docs> <outMd> | report <docs> <thr8Json> <thr32Json> <outMd>; got $other")
+  }
+
+  /** Dedup-plane twin of [[single]]: MinHash+LSH (banded, capped) then
+    * SimHash (general Manku k=6) over the materialized DedupCorpus — one
+    * JVM per width so the 8-core run can be `taskset -c 0-7` pinned
+    * (executor-faithful: its GC/JIT see 8 CPUs). */
+  private def dedupSingle(cores: Int, nDocs: Long, outJson: String): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scalebench-dedup-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val path = s"/tmp/graft_bench_dedup_$nDocs"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      DedupCorpus.generate(spark, nDocs, 256).write.mode("overwrite").parquet(path)
+    var pairs = (0L, 0L)
+    def job(): Unit = {
+      val docs = spark.read.parquet(path)
+      val mh = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 1.0, maxBucket = 2000).count()
+      val sh = graft.ops.Dedup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 2000, numBlocks = 6).count()
+      pairs = (mh, sh)
+    }
+    job() // warm-up
+    val secs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+    }
+    val sec = secs.min
+    val expected = DedupCorpus.expectedClusterPairs(nDocs)
+    spark.stop()
+    val json = s"""{"cores":$cores,"docs":$nDocs,"sec":$sec,"docs_per_sec":${nDocs / sec},"minhash_pairs":${pairs._1},"simhash_pairs":${pairs._2},"expected_cluster_pairs":$expected,"trials":[${secs.mkString(",")}]}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(json)
   }
 
   /**

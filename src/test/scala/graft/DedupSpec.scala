@@ -265,12 +265,29 @@ class DedupSpec extends SparkTestBase {
     }.toSet
     assert(mh === expected)
     assert(mh.size === DedupCorpus.expectedClusterPairs(3000, 500))
-    // simhash (hamming ≤ 3) finds at least every exact cluster pair
+    // simhash (hamming ≤ 3) finds at least every exact cluster pair — in
+    // BOTH block schemes: k = d+1 (4 tables, 16-bit keys) and the general
+    // Manku k=6 (C(6,3)=20 tables, ~32-bit keys — the volume-scale dial)
     val sh = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3, maxBucket = 50)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(expected.subsetOf(sh))
+    val sh6 = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3,
+        maxBucket = 50, numBlocks = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(sh6))
     // and drops the degenerate shard (no pair with both ids < 500 survives a cap of 50)
     assert(!sh.exists { case (a, b) => a < 500 && b < 500 })
     assert(!mh.exists { case (a, b) => a < 500 && b < 500 })
+  }
+
+  test("simhash general Manku scheme == block-per-table scheme on uncapped corpora") {
+    val docs = graft.tools.DedupCorpus.generate(spark, 1200, 8, degen = 0)
+    def pairs(k: Int) = Dedup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 0, numBlocks = k)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // recall is 1 in every scheme when nothing is capped → identical output
+    assert(pairs(4) === pairs(6))
+    assert(pairs(4) === pairs(8))
   }
 }
