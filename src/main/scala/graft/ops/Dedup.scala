@@ -148,8 +148,17 @@ object Dedup {
     val withSig0 = withSh.select(col("id"),
       graft.functions.HashExpressions
         .minhashSignatureNative(col("sh"), numHashes).as("sig"))
+    // cap the CACHED table's partition count at the available parallelism:
+    // a persisted table read by ~6 consumers (banding, cap agg+join, two
+    // verify joins) pays a full task-launch wave per consumer, and with
+    // small-split scans (e.g. 128×8MB) that is seconds of pure scheduler
+    // overhead per read with ~zero task time (measured: 6×1.5 s of a 12.5 s
+    // job). coalesce never increases partition count, so narrow inputs are
+    // untouched.
     val withSig =
-      if (materialize) withSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (materialize)
+        withSig0.coalesce(df.sparkSession.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else withSig0
 
     // band key = xxhash64 over (band, the band's signature slots) — pure

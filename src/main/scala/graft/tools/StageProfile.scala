@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Stage-level timing for one minhash run: prints (stage, tasks, wall ms,
+  * total task ms, name) — attributes where a width-insensitive job spends
+  * its time. Args: [nDocs] [width]. */
+object StageProfile {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val path = s"/tmp/graft_bench_dedup_$n"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      DedupCorpus.generate(spark, n, 256).write.mode("overwrite").parquet(path)
+    def run(): Unit = graft.ops.Dedup.minhashNearDups(spark.read.parquet(path),
+      "doc_id", "text", numHashes = 32, bands = 8, threshold = 1.0, maxBucket = 2000).count()
+    run() // warm-up
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        val taskMs = si.taskMetrics.executorRunTime
+        println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d wall=${wall}%6d ms taskTime=${taskMs}%7d ms  ${si.name.takeWhile(_ != '\n').take(60)}")
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    run()
+    println(f"[stage] TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}
