@@ -441,10 +441,14 @@ object SparkEntry {
       ValidationRunner.summary(back, Seq.empty)
     }),
 
-    // canonical interleaved-doc domain end-to-end (generator → validate → summary)
+    // canonical interleaved-doc domain end-to-end (generator → validate →
+    // summary). Bucket = numeric doc id mod 8 — closed-form in the
+    // generator ids, so the per-bucket summary is DuckDB-oracled (every
+    // 100th doc carries exactly one injected violation; 100k ≡ 4(k mod 2)
+    // mod 8, so corrupt docs land only in buckets 0 and 4)
     "v_docs_validate" -> ((s, dir) => {
       val docs = graft.io.Docs.generate(s, 50000, numPartitions = 32, corruptEvery = 100)
-        .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(8)))
+        .withColumn("bucket", pmod(substring(col("doc_id"), 5, 12).cast("long"), lit(8)))
       val validated = ValidationRunner.validate(docs, docsPlan)
       ValidationRunner.summary(validated, Seq("bucket")).orderBy("bucket")
     })
@@ -673,6 +677,16 @@ object SparkEntry {
         | SELECT max(abs(f1::DOUBLE / n1 - f2::DOUBLE / n2)) AS statistic,
         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
         | FROM cum, n GROUP BY n1, n2""".stripMargin.replace("\n", " "),
+
+    // per-bucket closed form over the generator ids (bucket = id % 8;
+    // corrupt ⇔ id % 100 == 0, exactly one violation each)
+    "v_docs_validate" ->
+      """SELECT id % 8 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN id % 100 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        | CAST(sum(CASE WHEN id % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+        | CAST(sum(CASE WHEN id % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        | FROM generate_series(0, 49999) AS t(id)
+        | GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " "),
 
     // closed form in the generator parameters (see the query's comment):
     // any drift in emit/ingest/shape-check/validate semantics moves a count

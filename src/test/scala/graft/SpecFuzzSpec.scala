@@ -33,6 +33,7 @@ class SpecFuzzSpec extends SparkTestBase {
     2 -> Gen.const(PBool),
     2 -> Gen.const(PFloat),
     3 -> (for { lo <- Gen.choose(-5L, 5L); w <- Gen.choose(1L, 50L) } yield PInt(lo, lo + w)),
+    2 -> Gen.const(TypeRef("port")), // alias chain with accumulated constraint
     (if (enums.nonEmpty) 3 else 0) -> Gen.oneOf(enums.map(e => TypeRef(e.name))))
 
   private def fieldGen(name: String, enums: Seq[EnumDef]): Gen[PField] = for {
@@ -52,14 +53,19 @@ class SpecFuzzSpec extends SparkTestBase {
       (1 to nTop).map(i => fieldGen(s"t$i", Seq(enum0))))
     withRule <- Gen.oneOf(true, false)
     nested <- Gen.oneOf(true, false)
+    withVariant <- Gen.oneOf(true, false)
   } yield Spec(
     module = "fuzz",
     defs = Seq(enum0, sub,
+      AliasDef("port", PInt(0, 100), Seq(InRange(10, 90))),
+      VariantDef("pay", Seq(POption("num", Some(PInt(0, 50))),
+        POption("word", Some(PString)), POption("flagish"))),
       RecordDef("root",
         (PField("id", PInt(0, Long.MaxValue), Required) +:
           topFields) ++
           Seq(PField("items", TypeRef("sub"), Repeated)) ++
-          (if (nested) Seq(PField("one", TypeRef("sub"), Optional(None))) else Nil))),
+          (if (nested) Seq(PField("one", TypeRef("sub"), Optional(None))) else Nil) ++
+          (if (withVariant) Seq(PField("pv", TypeRef("pay"), Optional(None))) else Nil))),
     root = "root",
     rowRules = if (withRule) Seq(StrictlyIncreasing("ord", "items", "ord")) else Nil)
 
@@ -77,6 +83,15 @@ class SpecFuzzSpec extends SparkTestBase {
         4 -> Gen.oneOf(opts).map("\"" + _ + "\""),
         2 -> Gen.const("\"mauve\""), // unknown member
         1 -> Gen.const("null"))
+      case AliasDef(_, target, _) => // value checks accumulate through the chain
+        Gen.frequency(4 -> valueGen(target, spec), 2 -> Gen.choose(-20, 120).map(_.toString))
+      case VariantDef(_, opts) => // 0 / 1 / 2 options set — exactly-one fuzz
+        Gen.choose(0, 2).flatMap(k => Gen.pick(k, opts).flatMap { chosen =>
+          Gen.sequence[Seq[String], String](chosen.map { o =>
+            o.tpe.map(valueGen(_, spec)).getOrElse(Gen.const("true"))
+              .map(v => s""""${o.name}":$v""")
+          }).map(es => es.mkString("{", ",", "}"))
+        })
       case _ => Gen.const("null")
     }
     case _ => Gen.const("null")
