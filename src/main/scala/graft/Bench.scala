@@ -118,11 +118,7 @@ object Bench {
     // materialized once (untimed, deterministic); both widths alternate in
     // this JVM like the validate probe.
     val nDedup = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "1000000").toLong
-    val dedupPath = s"/tmp/graft_bench_dedup_$nDedup"
-    if (!new java.io.File(s"$dedupPath/_SUCCESS").exists()) {
-      graft.tools.DedupCorpus.generate(spark, nDedup, 256)
-        .write.mode("overwrite").parquet(dedupPath)
-    }
+    val dedupPath = graft.tools.DedupCorpus.ensure(spark, nDedup)
     var dedupPairs = (0L, 0L)
     def dedupAll(width: Int): Unit = {
       // bound shuffle width too — the dedup plane is join/agg-heavy, unlike

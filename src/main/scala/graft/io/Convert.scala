@@ -155,13 +155,42 @@ object Convert {
 
     val shapeVio = JsonShape.checkKeys(col(jsonCol), spec)
 
+    // scalar conversion failures: a key PRESENT in the raw document whose
+    // parsed column is null means the value did not convert (garbage int,
+    // uint64 past decimal(20,0) precision, …) — PERMISSIVE parsing would
+    // otherwise swallow it silently (the reference raises a located error).
+    // Only numeric/bool root fields: strings/enums always parse, binary/any
+    // have lenient representations, records/arrays have their own shape
+    // checks.
+    val rawMap = from_json(col(jsonCol), MapType(StringType, StringType))
+    val convVios: Seq[Column] = rootFields(spec).flatMap { f =>
+      unaliasBase(f.tpe, rs) match {
+        case _: PInt | PUInt64 | PFloat | PFloat32 | PBool if f.mode != Repeated =>
+          val raw = element_at(rawMap, f.jsonKey)
+          Some(SpecCompiler.vio(
+            raw.isNotNull && trim(raw) =!= "null" && col("_rec").getField(f.jsonKey).isNull,
+            s"parse:value:${f.name}", f.name, raw))
+        case _ => None
+      }
+    }
+
     val flat = parsed.select(
       (rootFields(spec).map(f => fieldValue(col("_rec"), f, rs, toExternal = false).as(f.name)) :+
-        col(jsonCol).as("_raw") :+ parseVio.as("_pv") :+ shapeVio.as("_sv")): _*)
+        col(jsonCol).as("_raw") :+ parseVio.as("_pv") :+ shapeVio.as("_sv") :+
+        SpecCompiler.concatVios(convVios).as("_cv")): _*)
     flat
-      .withColumn("violations", concat(col("_pv"), col("_sv"), plan.violations))
+      .withColumn("violations", concat(col("_pv"), col("_sv"), col("_cv"), plan.violations))
       .withColumn("valid", size(col("violations")) === 0)
-      .drop("_pv", "_sv")
+      .drop("_pv", "_sv", "_cv")
+  }
+
+  /** Follow alias chains to the base type (constraint bags ignored here). */
+  private def unaliasBase(t: PiqiType, s: Spec): PiqiType = t match {
+    case TypeRef(n) => s.defTable.get(n) match {
+      case Some(AliasDef(_, target, _)) => unaliasBase(target, s)
+      case _ => t
+    }
+    case _ => t
   }
 
   /**
@@ -237,14 +266,19 @@ object Convert {
     val parseVio = SpecCompiler.vio(
       col(xmlCol).isNotNull && col("_rec._corrupt_record").isNotNull,
       "parse:xml", "$", col(xmlCol))
-    // strict: element names outside the spec's legal set → unknown-element
-    // (regex over open tags: "<name"; "</", "<?", "<!--" never match)
+    // strict: element names outside the spec's legal set → unknown-element.
+    // Non-strict tolerates unknown elements, mirroring the JSON unknown-key
+    // semantics (warning-level in the reference). Comments and CDATA are
+    // stripped first so "<word" inside them cannot false-positive; "</",
+    // "<?" never match the name charset.
     val elemVio =
       if (!spec.resolved.strict) SpecCompiler.emptyVio
       else {
         val legal = (legalElementNames(spec) + rootTag).toSeq
+        val scannable = regexp_replace(col(xmlCol),
+          lit("(?s)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>"), lit(""))
         val names = array_distinct(regexp_extract_all(
-          col(xmlCol), lit("<([A-Za-z_][A-Za-z0-9_.-]*)"), lit(1)))
+          scannable, lit("<([A-Za-z_][A-Za-z0-9_.-]*)"), lit(1)))
         val unknown = filter(names, n => !n.isin(legal: _*))
         SpecCompiler.vio(col(xmlCol).isNotNull && size(unknown) > 0,
           "unknown-element", "$", concat_ws(",", unknown))

@@ -217,8 +217,8 @@ object Multimodal {
   private def videoFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val frames = VideoStub.frames(payload)
     val out = new Array[Float](dim)
-    out(0) = frames.toFloat
-    out(1) = payload.length.toFloat
+    if (dim > 0) out(0) = frames.toFloat
+    if (dim > 1) out(1) = payload.length.toFloat
     var h = 1125899906842597L
     var i = 0
     while (i < payload.length) { h = 31 * h + payload(i); i += 1 }

@@ -18,9 +18,7 @@ object ABDedup {
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val path = s"/tmp/graft_bench_dedup_$n"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      DedupCorpus.generate(spark, n, 256).write.mode("overwrite").parquet(path)
+    val path = DedupCorpus.ensure(spark, n)
 
     def t(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
     def docs(width: Int) = {

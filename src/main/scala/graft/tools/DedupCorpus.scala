@@ -53,14 +53,25 @@ object DedupCorpus {
       .toDF("doc_id", "text")
   }
 
+  /** Bump when the text formula changes — versions the materialized-corpus
+    * path so probes never reuse a stale /tmp corpus from another checkout. */
+  private val FormulaVersion = 2 // v2 = nonlinear (seed, i) token mix
+
+  /** Materialize (once) and return the path of the n-doc probe corpus. */
+  def ensure(spark: SparkSession, n: Long, degen: Long = 20000L): String = {
+    val path = s"/tmp/graft_dedup_corpus_v${FormulaVersion}_${n}_$degen"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      generate(spark, n, 256, degen).write.mode("overwrite").parquet(path)
+    path
+  }
+
   /** True exact-duplicate pair count outside the degenerate shard. */
   def expectedClusterPairs(n: Long, degen: Long = 20000L): Long = {
     val firstBlock = degen / 100 // degen is a multiple of 100 in probes
     val lastBlock = (n - 1) / 100
-    val pairsPerFull = DupsPerBlock.toLong * (DupsPerBlock - 1) / 2
     (firstBlock to lastBlock).map { b =>
       val k = math.min(DupsPerBlock.toLong, n - b * 100) // trailing partial block
-      math.max(0L, k * (k - 1) / 2)
+      k * (k - 1) / 2
     }.sum
   }
 }

@@ -45,9 +45,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val path = s"/tmp/graft_bench_dedup_$nDocs"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      DedupCorpus.generate(spark, nDocs, 256).write.mode("overwrite").parquet(path)
+    val path = DedupCorpus.ensure(spark, nDocs)
     var pairs = (0L, 0L)
     def job(): Unit = {
       val docs = spark.read.parquet(path)

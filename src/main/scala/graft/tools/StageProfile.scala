@@ -16,9 +16,7 @@ object StageProfile {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val path = s"/tmp/graft_bench_dedup_$n"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      DedupCorpus.generate(spark, n, 256).write.mode("overwrite").parquet(path)
+    val path = DedupCorpus.ensure(spark, n)
     def run(): Unit = graft.ops.Dedup.minhashNearDups(spark.read.parquet(path),
       "doc_id", "text", numHashes = 32, bands = 8, threshold = 1.0, maxBucket = 2000).count()
     run() // warm-up

@@ -334,9 +334,11 @@ class PipelineSpec extends SparkTestBase {
       """{"id":1,"u":9223372036854775808}""",   // 2^63 — past Long.MaxValue
       """{"id":2,"u":18446744073709551615}""",  // 2^64 − 1 (domain max)
       """{"id":3,"u":18446744073709551616}""",  // 2^64 → out of range
-      """{"id":4,"u":-1}""")                    // negative → out of range
+      """{"id":4,"u":-1}""",                    // negative → out of range
+      """{"id":5,"u":100000000000000000000}""") // 10^20: past decimal(20,0)
     val out = Convert.fromJson(rows.toDF("json"), "json", spec)
       .select(col("id"), col("u"), col("violations.rule")).collect()
+      .filterNot(_.isNullAt(0))
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getSeq[String](2) === Seq.empty)
     assert(out(1L).getDecimal(1) === new java.math.BigDecimal("9223372036854775808"))
@@ -344,6 +346,15 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2L).getDecimal(1) === new java.math.BigDecimal("18446744073709551615"))
     assert(out(3L).getSeq[String](2) === Seq("range:u"))
     assert(out(4L).getSeq[String](2) === Seq("range:u"))
+    // past the 20-digit precision the value cannot even be REPRESENTED:
+    // PERMISSIVE parsing nulls it, and the present-key-but-parsed-null
+    // check turns that into a parse:value violation instead of silence
+    out.get(5L).foreach(r => assert(r.getSeq[String](2).contains("parse:value:u")))
+    if (!out.contains(5L)) { // whole-record nulling flavor: row must still be flagged
+      val r5 = Convert.fromJson(Seq(rows(4)).toDF("json"), "json", spec)
+        .select(col("violations.rule")).collect()(0).getSeq[String](0)
+      assert(r5.contains("parse:value:u"))
+    }
     // portable blob carries the kind
     assert(SpecJson.fromJson(SpecJson.toJson(spec)) === spec)
   }
@@ -574,7 +585,8 @@ class PipelineSpec extends SparkTestBase {
       "<value><a>hi</a></value>",
       "<value/>",                    // empty but valid: all-optional schema
       "not xml at all",              // garbage → parse:xml
-      "<value><zzz>1</zzz></value>") // unknown element (strict)
+      "<value><zzz>1</zzz></value>", // unknown element (strict)
+      "<value><!-- <legacy> gone --><![CDATA[<fake>]]><a>x</a></value>")
     val out = Convert.fromXml(rows.toDF("xml"), "xml", spec)
       .select(col("_raw"), col("violations.rule")).collect()
       .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
@@ -582,6 +594,8 @@ class PipelineSpec extends SparkTestBase {
     assert(out(rows(1)) === Set.empty, "empty document must not be a parse failure")
     assert(out(rows(2)).contains("parse:xml"))
     assert(out(rows(3)).contains("unknown-element"))
+    // element-like names inside comments/CDATA are not elements
+    assert(!out(rows(4)).contains("unknown-element"), out(rows(4)).toString)
   }
 
   test("json-name: parse by JSON key at every level, emit under it, declared name unknown under strict") {
