@@ -86,6 +86,27 @@ object ValidationRunner {
       .agg(count(lit(1)).as("n"))
 
   /**
+   * Usage report for DEPRECATED fields (the reference carries
+   * `Field.deprecated` as schema metadata, `piqi/piqi.piqi:132-175`): one
+   * row per deprecated root field with its non-null occurrence count —
+   * the migration-tracking twin of validation (a deprecated field is
+   * legal, but you want to watch its usage decay). Single partial+final
+   * aggregate, no shuffle beyond it.
+   */
+  def deprecatedUsage(df: DataFrame, plan: graft.compile.ValidationPlan): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fields = plan.rootRecord.fields.filter(_.deprecated).map(_.name)
+    if (fields.isEmpty) return Seq.empty[(String, Long, Long)]
+      .toDF("field", "n_present", "n_docs")
+    val aggs = count(lit(1)).as("__docs") +:
+      fields.map(f => sum(col(f).isNotNull.cast(LongType)).as(s"${f}__present"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    fields.zipWithIndex.map { case (f, i) => (f, row.getLong(i + 1), row.getLong(0)) }
+      .toDF("field", "n_present", "n_docs")
+  }
+
+  /**
    * Per-column stats in one pass: count / null-count / min / max /
    * approx-distinct (HyperLogLog++) — SURVEY.md §2.D row 1-2. One job, one
    * final aggregate; output long-format (one row per column) so the report

@@ -157,4 +157,28 @@ class ValidationSpec extends SparkTestBase {
     assert(joined.where(!Docs.spansEqual(col("a.spans"), col("b.spans"), withOffsets = true))
       .count() === 0)
   }
+
+  test("deprecated-field usage report counts non-null occurrences") {
+    import graft.spec._
+    val spark0 = spark
+    import spark0.implicits._
+    val spec = Spec("dep", Seq(RecordDef("r", Seq(
+      PField("id", PInt.int64, Required),
+      PField("old_name", PString, Optional(None), deprecated = true),
+      PField("new_name", PString, Optional(None))))), "r")
+    val plan = graft.compile.SpecCompiler.compile(spec)
+    val df = Seq(
+      (1L, Some("a"), None: Option[String]),
+      (2L, Some("b"), Some("x")),
+      (3L, None: Option[String], Some("y"))).toDF("id", "old_name", "new_name")
+    val rep = ValidationRunner.deprecatedUsage(df, plan).collect()
+    assert(rep.length === 1)
+    assert(rep(0).getString(0) === "old_name")
+    assert(rep(0).getLong(1) === 2L && rep(0).getLong(2) === 3L)
+    // no deprecated fields → empty report with a stable schema
+    val none = ValidationRunner.deprecatedUsage(df,
+      graft.compile.SpecCompiler.compile(spec.copy(defs = Seq(RecordDef("r", Seq(
+        PField("id", PInt.int64, Required)))))))
+    assert(none.columns.toSeq === Seq("field", "n_present", "n_docs") && none.count() === 0)
+  }
 }
