@@ -102,21 +102,26 @@ case class Simhash64(child: Expression) extends UnaryExpression {
 
 /**
  * MinHash signature over a shingle-hash array: slot i is
- * min_h xxhash64(i, h) — i.e. `numHashes` independent permutation minima in
- * ONE pass over the array (the HOF form re-scanned the array per slot).
+ * min_h trunc32(xxhash64(i, h)) — `numHashes` independent permutation
+ * minima in ONE pass over the array (the HOF form re-scanned the array per
+ * slot). Values are the TOP 32 BITS of the permutation hash, compared as
+ * signed ints — standard 32-bit minhash: per-slot collision probability is
+ * Jaccard + O(2^-32), indistinguishable for LSH, at HALF the signature
+ * bytes (the signature table is cached and re-joined 3× in
+ * [[graft.ops.Dedup.minhashNearDups]], so bytes are the scale cost).
  *
  * Exact HOF-equivalent semantics ([[graft.ops.Dedup.minhashSignatureHOF]]):
  * null or empty array → array of `numHashes` nulls (the HOF is
  * `array(array_min(...))` — the outer array() constructor never yields null,
  * and array_min of a null/empty slice is null); null element → contributes
- * xxhash64(i) alone (Spark's multi-arg xxhash64 skips null children), i.e.
- * the per-slot seed.
+ * trunc32(xxhash64(i)) alone (Spark's multi-arg xxhash64 skips null
+ * children), i.e. the truncated per-slot seed.
  */
 case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
 
   require(numHashes > 0, "numHashes must be positive")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -138,16 +143,20 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(new Array[Any](numHashes)) // all null
-    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val mins = Array.fill(numHashes)(Int.MaxValue)
     var i = 0
     while (i < n) {
       var k = 0
       if (arr.isNullAt(i)) {
-        while (k < numHashes) { if (seeds(k) < mins(k)) mins(k) = seeds(k); k += 1 }
+        while (k < numHashes) {
+          val s = (seeds(k) >>> 32).toInt
+          if (s < mins(k)) mins(k) = s
+          k += 1
+        }
       } else {
         val h = arr.getLong(i)
         while (k < numHashes) {
-          val x = XXH64.hashLong(h, seeds(k))
+          val x = (XXH64.hashLong(h, seeds(k)) >>> 32).toInt
           if (x < mins(k)) mins(k) = x
           k += 1
         }
@@ -175,17 +184,18 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
          |  $result = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$numHashes]);
          |} else {
          |  int $n = ${childGen.value}.numElements();
-         |  long[] $mins = new long[$numHashes];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  int[] $mins = new int[$numHashes];
+         |  java.util.Arrays.fill($mins, Integer.MAX_VALUE);
          |  for (int $i = 0; $i < $n; $i++) {
          |    if (${childGen.value}.isNullAt($i)) {
          |      for (int $k = 0; $k < $numHashes; $k++) {
-         |        if ($seedsRef[$k] < $mins[$k]) $mins[$k] = $seedsRef[$k];
+         |        int $x = (int) ($seedsRef[$k] >>> 32);
+         |        if ($x < $mins[$k]) $mins[$k] = $x;
          |      }
          |    } else {
          |      long $h = ${childGen.value}.getLong($i);
          |      for (int $k = 0; $k < $numHashes; $k++) {
-         |        long $x = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, $seedsRef[$k]);
+         |        int $x = (int) (org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, $seedsRef[$k]) >>> 32);
          |        if ($x < $mins[$k]) $mins[$k] = $x;
          |      }
          |    }

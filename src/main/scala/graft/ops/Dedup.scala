@@ -87,11 +87,14 @@ object Dedup {
 
   /**
    * MinHash signature: `numHashes` independent permutation mins over the
-   * shingle-hash set; permutation i = xxhash64(seed=i, shingleHash) — long
-   * in, long out, no string work per hash function. Computed by the native
-   * codegen'd [[graft.functions.MinHashSignature]] expression (ONE pass over
-   * the shingle array; the HOF form below re-scanned it per slot through
-   * interpreted lambdas — 6.5 s for 5,050 docs at 32 slots).
+   * shingle-hash set; permutation i = top-32-bits of xxhash64(seed=i,
+   * shingleHash) — 32-bit minhash values (`array<int>`): per-slot collision
+   * probability is Jaccard + O(2^-32), same LSH power at HALF the signature
+   * bytes (the signature table is cached and re-joined 3× downstream).
+   * Computed by the native codegen'd [[graft.functions.MinHashSignature]]
+   * expression (ONE pass over the shingle array; the HOF form below
+   * re-scanned it per slot through interpreted lambdas — 6.5 s for 5,050
+   * docs at 32 slots).
    */
   def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int = 3): Column =
     graft.functions.HashExpressions.minhashSignatureNative(
@@ -103,7 +106,11 @@ object Dedup {
 
   private[graft] def minhashSignatureFromHashesHOF(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(sh, h => xxhash64(lit(i), h)))
+      // arithmetic >> 32 lands in int range and equals the native
+      // (int)(x >>> 32) reinterpretation of the top 32 bits
+      array_min(transform(sh, h =>
+        call_function("shiftright", xxhash64(lit(i), h), lit(32))
+          .cast(IntegerType)))
     }: _*)
 
   /**
