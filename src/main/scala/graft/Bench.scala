@@ -128,13 +128,10 @@ object Bench {
       try {
         val base = spark.read.parquet(dedupPath)
         val docs = if (width > 0) base.coalesce(width) else base
-        val mh = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
-          numHashes = 32, bands = 8, threshold = 1.0, maxBucket = 2000).count()
-        // numBlocks=6 → C(6,3)=20 tables keyed on ~32 bits: bucket density
-        // stays sub-1 at volume (k=4's 16-bit keys go quadratic past ~10^6
-        // docs — measured; see simhashNearDups scaladoc)
-        val sh = graft.ops.Dedup.simhashNearDups(docs, "doc_id", "text",
-          maxHamming = 3, maxBucket = 2000, numBlocks = 6).count()
+        // shared parameterization (DedupCorpus.Probe) keeps this job
+        // identical to the ScaleBench/ABDedup/StageProfile protocols
+        val mh = graft.tools.DedupCorpus.Probe.minhash(docs).count()
+        val sh = graft.tools.DedupCorpus.Probe.simhash(docs).count()
         dedupPairs = (mh, sh)
       } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }

@@ -100,7 +100,10 @@ object ValidationRunner {
     if (fields.isEmpty) return Seq.empty[(String, Long, Long)]
       .toDF("field", "n_present", "n_docs")
     val aggs = count(lit(1)).as("__docs") +:
-      fields.map(f => sum(col(f).isNotNull.cast(LongType)).as(s"${f}__present"))
+      // sum over zero rows is SQL NULL — coalesce so an empty bucket
+      // reports (field, 0, 0) instead of NPE-ing the report
+      fields.map(f => coalesce(sum(col(f).isNotNull.cast(LongType)), lit(0L))
+        .as(s"${f}__present"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     fields.zipWithIndex.map { case (f, i) => (f, row.getLong(i + 1), row.getLong(0)) }
       .toDF("field", "n_present", "n_docs")

@@ -157,18 +157,22 @@ object Convert {
 
     // scalar conversion failures: a key PRESENT in the raw document whose
     // parsed column is null means the value did not convert (garbage int,
-    // uint64 past decimal(20,0) precision, …) — PERMISSIVE parsing would
-    // otherwise swallow it silently (the reference raises a located error).
-    // Only numeric/bool root fields: strings/enums always parse, binary/any
-    // have lenient representations, records/arrays have their own shape
-    // checks.
+    // the string "null", uint64 past decimal(20,0) precision, …) —
+    // PERMISSIVE parsing would otherwise swallow it silently (the reference
+    // raises a located error). A BARE JSON null parses to a null map value
+    // (raw.isNotNull is the present-ness test), so legal null ≡ missing
+    // never fires. Per-field attribution relies on Spark's partial-results
+    // JSON parsing (enablePartialResults, default on since 3.4): only the
+    // failing field is nulled, not the whole record. Only numeric/bool root
+    // fields: strings/enums always parse, binary/any have lenient
+    // representations, records/arrays have their own shape checks.
     val rawMap = from_json(col(jsonCol), MapType(StringType, StringType))
     val convVios: Seq[Column] = rootFields(spec).flatMap { f =>
-      unaliasBase(f.tpe, rs) match {
+      JsonShape.unalias(f.tpe, rs) match {
         case _: PInt | PUInt64 | PFloat | PFloat32 | PBool if f.mode != Repeated =>
           val raw = element_at(rawMap, f.jsonKey)
           Some(SpecCompiler.vio(
-            raw.isNotNull && trim(raw) =!= "null" && col("_rec").getField(f.jsonKey).isNull,
+            raw.isNotNull && col("_rec").getField(f.jsonKey).isNull,
             s"parse:value:${f.name}", f.name, raw))
         case _ => None
       }
@@ -184,14 +188,6 @@ object Convert {
       .drop("_pv", "_sv", "_cv")
   }
 
-  /** Follow alias chains to the base type (constraint bags ignored here). */
-  private def unaliasBase(t: PiqiType, s: Spec): PiqiType = t match {
-    case TypeRef(n) => s.defTable.get(n) match {
-      case Some(AliasDef(_, target, _)) => unaliasBase(target, s)
-      case _ => t
-    }
-    case _ => t
-  }
 
   /**
    * Validate `piqi-any` payloads against their per-row typename — the

@@ -144,7 +144,8 @@ object JsonShape {
     }
   }
 
-  private def unalias(t: PiqiType, spec: Spec): PiqiType = t match {
+  /** Follow alias chains to the base type (shared with [[Convert]]). */
+  private[io] def unalias(t: PiqiType, spec: Spec): PiqiType = t match {
     case TypeRef(n) => spec.defTable(n) match {
       case AliasDef(_, target, _) => unalias(target, spec)
       case _ => t

@@ -26,10 +26,10 @@ object ABDedup {
       val b = spark.read.parquet(path)
       if (width > 0) b.coalesce(width) else b
     }
-    def mh(width: Int): Unit = graft.ops.Dedup.minhashNearDups(docs(width),
-      "doc_id", "text", numHashes = 32, bands = 8, threshold = 1.0, maxBucket = 2000).count()
+    def mh(width: Int): Unit = DedupCorpus.Probe.minhash(docs(width)).count()
     def sh(width: Int, k: Int): Unit = graft.ops.Dedup.simhashNearDups(docs(width),
-      "doc_id", "text", maxHamming = 3, maxBucket = 2000, numBlocks = k).count()
+      "doc_id", "text", maxHamming = 3, maxBucket = DedupCorpus.Probe.MaxBucket,
+      numBlocks = k).count() // k varies by design here (the A/B dimension)
 
     mh(8); mh(0); sh(8, 4); sh(0, 4); sh(8, 6); sh(0, 6) // warm-up
     for (tr <- 1 to trials) {

@@ -57,12 +57,47 @@ object DedupCorpus {
     * path so probes never reuse a stale /tmp corpus from another checkout. */
   private val FormulaVersion = 2 // v2 = nonlinear (seed, i) token mix
 
-  /** Materialize (once) and return the path of the n-doc probe corpus. */
+  /** Materialize (once) and return the path of the n-doc probe corpus.
+    * Race-safe across concurrent JVMs (the two-JVM scaling protocol):
+    * writes to a private temp dir, then atomically renames into place —
+    * the loser of the rename just uses the winner's corpus. */
   def ensure(spark: SparkSession, n: Long, degen: Long = 20000L): String = {
     val path = s"/tmp/graft_dedup_corpus_v${FormulaVersion}_${n}_$degen"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      generate(spark, n, 256, degen).write.mode("overwrite").parquet(path)
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val tmp = s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}"
+      generate(spark, n, 256, degen).write.mode("overwrite").parquet(tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
+        // another JVM won the rename; discard ours
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+        require(new java.io.File(s"$path/_SUCCESS").exists(),
+          s"corpus materialization race left no usable corpus at $path")
+      }
+    }
     path
+  }
+
+  /** THE probe parameterization — one definition shared by `graft.Bench`,
+    * `ScaleBench dedup`, `ABDedup`, and `StageProfile`, so the numbers the
+    * BASELINE compares across protocols are of the same job by
+    * construction. */
+  object Probe {
+    val NumHashes = 32
+    val Bands = 8
+    val Threshold = 1.0
+    val MaxBucket = 2000
+    val SimhashBlocks = 6 // C(6,3)=20 tables ≈ 32-bit keys: linear at volume
+
+    def minhash(docs: DataFrame): DataFrame =
+      graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = NumHashes, bands = Bands, threshold = Threshold,
+        maxBucket = MaxBucket)
+
+    def simhash(docs: DataFrame): DataFrame =
+      graft.ops.Dedup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = MaxBucket, numBlocks = SimhashBlocks)
   }
 
   /** True exact-duplicate pair count outside the degenerate shard. */

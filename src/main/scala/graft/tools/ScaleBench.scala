@@ -49,10 +49,8 @@ object ScaleBench {
     var pairs = (0L, 0L)
     def job(): Unit = {
       val docs = spark.read.parquet(path)
-      val mh = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
-        numHashes = 32, bands = 8, threshold = 1.0, maxBucket = 2000).count()
-      val sh = graft.ops.Dedup.simhashNearDups(docs, "doc_id", "text",
-        maxHamming = 3, maxBucket = 2000, numBlocks = 6).count()
+      val mh = DedupCorpus.Probe.minhash(docs).count()
+      val sh = DedupCorpus.Probe.simhash(docs).count()
       pairs = (mh, sh)
     }
     job() // warm-up

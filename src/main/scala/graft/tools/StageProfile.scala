@@ -17,8 +17,7 @@ object StageProfile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val path = DedupCorpus.ensure(spark, n)
-    def run(): Unit = graft.ops.Dedup.minhashNearDups(spark.read.parquet(path),
-      "doc_id", "text", numHashes = 32, bands = 8, threshold = 1.0, maxBucket = 2000).count()
+    def run(): Unit = DedupCorpus.Probe.minhash(spark.read.parquet(path)).count()
     run() // warm-up
     val listener = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {

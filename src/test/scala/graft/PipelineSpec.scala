@@ -335,7 +335,9 @@ class PipelineSpec extends SparkTestBase {
       """{"id":2,"u":18446744073709551615}""",  // 2^64 − 1 (domain max)
       """{"id":3,"u":18446744073709551616}""",  // 2^64 → out of range
       """{"id":4,"u":-1}""",                    // negative → out of range
-      """{"id":5,"u":100000000000000000000}""") // 10^20: past decimal(20,0)
+      """{"id":5,"u":100000000000000000000}""", // 10^20: past decimal(20,0)
+      """{"id":6,"u":null}""",                  // bare null ≡ missing: legal
+      """{"id":7,"u":"null"}""")                // the STRING "null": garbage
     val out = Convert.fromJson(rows.toDF("json"), "json", spec)
       .select(col("id"), col("u"), col("violations.rule")).collect()
       .filterNot(_.isNullAt(0))
@@ -355,6 +357,9 @@ class PipelineSpec extends SparkTestBase {
         .select(col("violations.rule")).collect()(0).getSeq[String](0)
       assert(r5.contains("parse:value:u"))
     }
+    // bare JSON null is legal (null ≡ missing); the STRING "null" is not
+    assert(out(6L).getSeq[String](2) === Seq.empty)
+    assert(out(7L).getSeq[String](2) === Seq("parse:value:u"))
     // portable blob carries the kind
     assert(SpecJson.fromJson(SpecJson.toJson(spec)) === spec)
   }
