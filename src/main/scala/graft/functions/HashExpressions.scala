@@ -468,4 +468,21 @@ object HashExpressions {
     * shingle-hash column. */
   def minhashSignatureNative(shingleHashes: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingleHashes), numHashes))
+
+  /** Per-bucket verified MinHash pair generator over an
+    * `array<struct<id, sig:array<int>>>` column (use in `select`, alias with
+    * `.as(Seq("id_a","id_b","sig_sim"))`). */
+  def minhashPairs(items: Column, numHashes: Int, threshold: Double): Column =
+    GraftBridge.column(MinhashPairs(GraftBridge.expression(items), numHashes, threshold))
+
+  /** Per-bucket verified SimHash (hamming ≤ max) pair generator over an
+    * `array<struct<id, sig:long>>` column. */
+  def hammingPairs(items: Column, maxHamming: Int): Column =
+    GraftBridge.column(HammingPairs(GraftBridge.expression(items), maxHamming))
+
+  /** Per-bucket verified cosine pair generator over an
+    * `array<struct<id, v:array<double|float>>>` column of pre-normalized
+    * vectors. */
+  def cosinePairs(items: Column, threshold: Double): Column =
+    GraftBridge.column(CosinePairs(GraftBridge.expression(items), threshold))
 }

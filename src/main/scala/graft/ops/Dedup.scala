@@ -12,29 +12,37 @@ import graft.functions.{Text, Vectors}
  * Scale design notes (the part that matters at 100 TB):
  *  - exact dedup is a single hash groupBy (partial-agg absorbs dup mass
  *    map-side; identical texts collapse before the shuffle);
- *  - MinHash LSH shuffles only (band-key, doc) pairs — band keys are
- *    16-byte hashes, not shingle sets — then joins within buckets;
- *    candidate verification happens AFTER bucketing so the quadratic step
- *    runs per-bucket, never globally;
- *  - SimHash groups by rotated prefix blocks (the standard Manku/Jain/
- *    Sarma WWW'07 trick) so hamming≤k pairs collide in ≥1 block;
- *  - embedding near-dup buckets by sign-bit LSH before exact cosine.
+ *  - every near-dup pipeline (MinHash LSH, SimHash Manku blocks, embedding
+ *    sign-bit LSH) is ONE wide shuffle: signature + bucket keys computed in
+ *    a single codegen stage, `groupBy(bucket).collect_list(struct(id,sig))`,
+ *    then a native [[graft.functions.VerifiedPairsBase]] generator emits
+ *    verified pairs per bucket — the quadratic step runs per-bucket, never
+ *    globally, bounded by the bucket cap (a free `size` filter on the
+ *    collected list), and rejected candidates never materialize as rows;
+ *  - SimHash buckets on Manku/Jain/Sarma WWW'07 block combinations so
+ *    hamming≤d pairs collide in ≥1 table; the block-count knob trades
+ *    explode factor against bucket density (see [[simhashNearDups]]).
  */
 object Dedup {
 
   /**
-   * Cap LSH bucket sizes: drop all rows of any bucket whose size exceeds
-   * `cap`. A hot (band,bucket) — templated/duplicated corpora make these
-   * common — otherwise goes quadratic on one reducer at scale (a bucket of
-   * size s produces s²/2 candidate pairs). The aggregate+join runs on the
-   * SAME keys as the downstream self-join, so the exchange is reused.
+   * Cap LSH bucket sizes on an EXPLODED (row-per-bucket-member) frame: drop
+   * all rows of any bucket whose size exceeds `cap`. A hot bucket —
+   * templated/duplicated corpora make these common — otherwise goes
+   * quadratic on one reducer at scale (a bucket of size s produces s²/2
+   * candidate pairs).
+   *
+   * The near-dup pipelines no longer need this aggregate+join form: since
+   * round 4 they collect each bucket with `collect_list` and cap via a free
+   * `size(items) <= cap` filter (see [[minhashNearDups]]). This form
+   * remains for callers capping a frame they keep exploded.
    *
    * Dropping a bucket loses its candidate pairs by design: buckets past any
    * sane cap are dominated by exact duplicates, which [[exactDedup]] must
    * remove first (the Manku WWW'07 pipeline ordering). Use
    * [[overflowBuckets]] to report what was dropped.
    */
-  private[ops] def capBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+  def capBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     if (cap <= 0) return df // 0/negative = uncapped
     val keys = keyCols.map(col)
     val small = df.groupBy(keys: _*).agg(count(lit(1)).as("_bsz"))
@@ -121,24 +129,33 @@ object Dedup {
    *
    * Returns (id_a, id_b, sig_sim) with id_a < id_b, sig_sim ≥ threshold.
    *
-   * `maxBucket` bounds any (band,bucket)'s candidate contribution (see
-   * [[capBuckets]]); 0 disables the cap.
+   * ONE-SHUFFLE shape (round 4): the whole pipeline is
    *
-   * `materialize` (default true) EAGERLY executes the job at call time:
-   * signatures are persisted for the three consumers, the (small) verified
-   * pair set is `localCheckpoint`ed, and the signature cache is released
-   * before returning — the right lifecycle for a shared long-lived session.
-   * NOTE the non-reliable semantics: localCheckpoint blocks live only on
-   * executors, so under dynamic allocation / executor loss a lost block
-   * fails downstream actions. On a real cluster pass `materialize = false`
-   * to get the LAZY plan (signatures recomputed per consumer, nothing
-   * cached) and write the result to storage yourself — pairs-to-table is
-   * the durable equivalent of the checkpoint.
+   *   scan → sig + band keys (one codegen stage) → explode(bands)
+   *        → groupBy(bucket).collect_list(struct(id, sig))   [the shuffle]
+   *        → size(items) ≤ cap filter → [[graft.functions.MinhashPairs]]
+   *        → dropDuplicates(id_a, id_b)                      [pairs-only]
+   *
+   * The r3 form (bucketed self-join + cap aggregate-join + two signature
+   * re-joins against a persisted sig table) evaluated the banding pipeline
+   * twice (the join sides differ in projection, so no exchange reuse) and
+   * read the cache ~5×; this form computes each signature exactly once,
+   * caches nothing, and touches each (id, sig) row once per band in a
+   * single exchange. The bucket cap is a free `size` filter on the
+   * collected list (report dropped buckets via [[overflowBuckets]]), and
+   * verification runs inside the generator, so rejected candidates never
+   * materialize as rows. The second (pair-dedup) exchange carries only
+   * verified pairs. Band index is hashed INTO the bucket key, so the key is
+   * a single long; a cross-band key collision merely merges two buckets —
+   * extra candidates are then signature-verified, so the result is
+   * unchanged w.h.p. (2⁻⁶⁴-scale).
+   *
+   * At cluster scale nothing here needs persistence or checkpointing: the
+   * output is a plain DataFrame — write it to a table for durability.
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
-      threshold: Double = 0.7, maxBucket: Int = 100000,
-      materialize: Boolean = true): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // two-step projection: shingle hashes materialize ONCE, then 32 permuted
@@ -147,68 +164,28 @@ object Dedup {
     val withSh = df
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
-    // materialize the signature table once: it feeds the banded self-join
-    // AND the two verification re-joins — without this the sig expression
-    // re-executes per consumer (measured 3× cost). At warehouse scale this
-    // is the step you would write to storage; MEMORY_AND_DISK is the
-    // local-mode equivalent (narrow: id + numHashes longs per doc).
-    val withSig0 = withSh.select(col("id"),
+    val withSig = withSh.select(col("id"),
       graft.functions.HashExpressions
         .minhashSignatureNative(col("sh"), numHashes).as("sig"))
-    // cap the CACHED table's partition count at the available parallelism:
-    // a persisted table read by ~6 consumers (banding, cap agg+join, two
-    // verify joins) pays a full task-launch wave per consumer, and with
-    // small-split scans (e.g. 128×8MB) that is seconds of pure scheduler
-    // overhead per read with ~zero task time (measured: 6×1.5 s of a 12.5 s
-    // job). coalesce never increases partition count, so narrow inputs are
-    // untouched.
-    val withSig =
-      if (materialize)
-        withSig0.coalesce(df.sparkSession.sparkContext.defaultParallelism)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else withSig0
-
     // band key = xxhash64 over (band, the band's signature slots) — pure
-    // long-hash codegen, no string/JSON serialization per (doc, band); the
-    // join carries ONLY (band, bucket, id) — signatures re-join after pair
-    // dedup, so the shuffle stays narrow even when buckets collide heavily.
-    // Band indices are literals, so each slot is an O(1) element_at on the
-    // materialized sig column (NOT the lambda-capture shape that made the
-    // HOF shingle path quadratic).
+    // long-hash codegen computed in the SAME stage as the signature (no
+    // separate pass, no cached table to re-read). Band indices are
+    // literals, so each slot is an O(1) element_at on the materialized sig
+    // column.
     val bandKeys = (0 until bands).map { b =>
       xxhash64(lit(b) +: (0 until rowsPerBand)
         .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
     }
-    val banded0 = withSig.select(col("id"), posexplode(array(bandKeys: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket)
-
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val banded = withSig.select(col("id"), col("sig"),
+      explode(array(bandKeys: _*)).as("bucket"))
+    val buckets = banded.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("items"))
+    val capped = if (maxBucket > 0) buckets.where(size(col("items")) <= maxBucket) else buckets
+    capped
+      .select(graft.functions.HashExpressions
+        .minhashPairs(col("items"), numHashes, threshold)
+        .as(Seq("id_a", "id_b", "sig_sim")))
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
-
-    val verified = pairs
-      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("sig_sim",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast(IntegerType)),
-          lit(0), (acc, v) => acc + v).cast(DoubleType) / lit(numHashes))
-      .where(col("sig_sim") >= threshold)
-      .select("id_a", "id_b", "sig_sim")
-    if (!materialize) verified
-    else {
-      // eager local checkpoint materializes the (small) pair set and
-      // truncates lineage, so the signature cache can be released NOW
-      // instead of leaking pinned storage across a shared session
-      // (checkpoint blocks are GC-managed by the ContextCleaner, unlike
-      // persist which pins forever)
-      val out = verified.localCheckpoint(true)
-      withSig.unpersist()
-      out
-    }
   }
 
   /**
@@ -276,22 +253,24 @@ object Dedup {
       else extracted.bitwiseAND(lit((1L << width) - 1))
     }
     val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    // one key per (k−d)-combination: xxhash64 over the combo's block values
-    // (pure long-hash codegen; the join carries (table, key, id, sig))
+    // one key per (k−d)-combination: xxhash64 over (combo index, the combo's
+    // block values) — pure long-hash codegen in the signature's stage; the
+    // combo index is hashed INTO the key so one long keys the whole table
+    // set (same one-shuffle groupBy + generator shape as
+    // [[minhashNearDups]]; the sig payload here is a single long)
     val keys = combos.zipWithIndex.map { case (combo, ci) =>
       xxhash64((lit(ci.toLong) +: combo.map(i => blockVal(col("sig"), i))): _*)
     }
-    val blocked0 = withSig.select(col("id"), col("sig"), posexplode(array(keys: _*)))
-      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bval")
-    val blocked = capBuckets(blocked0, Seq("blk", "bval"), maxBucket)
-    val a = blocked.select(col("blk"), col("bval"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = blocked.select(col("blk"), col("bval"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("blk", "bval"))
-      .where(col("id_a") < col("id_b"))
+    val blocked = withSig.select(col("id"), col("sig"),
+      explode(array(keys: _*)).as("bucket"))
+    val buckets = blocked.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("items"))
+    val capped = if (maxBucket > 0) buckets.where(size(col("items")) <= maxBucket) else buckets
+    capped
+      .select(graft.functions.HashExpressions
+        .hammingPairs(col("items"), maxHamming)
+        .as(Seq("id_a", "id_b", "hamming")))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", Vectors.hamming64(col("sig_a"), col("sig_b")))
-      .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
   /** Pairwise word-set Jaccard similarity for candidate pairs (verification step). */
@@ -329,19 +308,22 @@ object Dedup {
       threshold: Double = 0.95, lshBits: Int = 8, probes: Int = 2,
       maxBucket: Int = 100000): DataFrame = {
     val base = df.select(col(idCol).as("id"), Vectors.normalize(col(vecCol)).as("v"))
-    val bucketed0 = base.select(col("id"), col("v"),
-      posexplode(array((0 until probes).map(s =>
-        Vectors.signBits(col("v"), lshBits, seed = 42 + s)): _*)))
-      .withColumnRenamed("pos", "probe").withColumnRenamed("col", "bucket")
-    val bucketed = capBuckets(bucketed0, Seq("probe", "bucket"), maxBucket)
-    val a = bucketed.select(col("probe"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("probe"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("probe", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    // probe index hashed INTO the bucket key (same one-shuffle groupBy +
+    // generator shape as [[minhashNearDups]]); cosine of pre-normalized
+    // vectors = ascending-order dot, computed inside the generator —
+    // bit-identical to the Vectors.dot Column form
+    val probeKeys = (0 until probes).map(s =>
+      xxhash64(lit(s), Vectors.signBits(col("v"), lshBits, seed = 42 + s)))
+    val bucketed = base.select(col("id"), col("v"),
+      explode(array(probeKeys: _*)).as("bucket"))
+    val buckets = bucketed.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("v"))).as("items"))
+    val capped = if (maxBucket > 0) buckets.where(size(col("items")) <= maxBucket) else buckets
+    capped
+      .select(graft.functions.HashExpressions
+        .cosinePairs(col("items"), threshold)
+        .as(Seq("id_a", "id_b", "cos")))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", Vectors.dot(col("v_a"), col("v_b"))) // normalized → dot = cosine
-      .where(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
   }
 
   /** Exact brute-force embedding near-dups (oracle / small-N verification path). */

@@ -231,23 +231,34 @@ class DedupSpec extends SparkTestBase {
     assert(cp.exceptAll(un).count() === 0)
   }
 
-  test("minhashNearDups leaves no pinned cache behind (lifecycle)") {
+  test("minhashNearDups is lazy, caches nothing, and leaves no pinned cache behind") {
     val df = corpus(30)
     val out = Dedup.minhashNearDups(df, "id", "text", numHashes = 32, bands = 8, threshold = 0.9)
+    // building the DataFrame ran no job and cached nothing (one-shuffle
+    // pipeline: nothing is read twice, so nothing needs persisting)
+    assert(spark.sharedState.cacheManager.isEmpty)
     assert(out.count() >= 3) // the exact dups at minimum
-    // the signature persist must have been released before returning
     assert(spark.sharedState.cacheManager.isEmpty,
       "minhashNearDups left a DataFrame pinned in the cache manager")
   }
 
-  test("minhashNearDups materialize=false returns a lazy uncached plan") {
+  test("near-dup plans are one wide shuffle + a pairs-only dedup exchange") {
     val df = corpus(30)
-    val out = Dedup.minhashNearDups(df, "id", "text", numHashes = 32, bands = 8,
-      threshold = 0.9, materialize = false)
-    // building the DataFrame ran no job and cached nothing
-    assert(spark.sharedState.cacheManager.isEmpty)
-    assert(out.count() >= 3) // same result as the eager path
-    assert(spark.sharedState.cacheManager.isEmpty)
+    for ((name, plan) <- Seq(
+        "minhash" -> Dedup.minhashNearDups(df, "id", "text", numHashes = 32, bands = 8,
+          threshold = 0.9),
+        "simhash" -> Dedup.simhashNearDups(df, "id", "text", maxHamming = 3))) {
+      val p = plan.queryExecution.executedPlan.toString
+      // exactly two exchanges: groupBy(bucket) on the exploded docs and the
+      // dropDuplicates over verified pairs — the r3 shape had five-plus
+      // (banding ×2 join sides, cap agg+join, pair dedup, two verify joins)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 2, s"$name expected 2 exchanges, got $exchanges:\n${p.take(4000)}")
+      assert(!p.contains("InMemoryTableScan"), s"$name should not cache:\n${p.take(2000)}")
+      // the verified-pair generator is in the plan (candidate gen + verify fused)
+      assert(p.toLowerCase.contains("pairs(items"),
+        s"$name missing the pair generator:\n${p.take(2000)}")
+    }
   }
 
   test("scale-probe corpus: cluster pairs exact, degenerate template shard absorbed by the cap") {

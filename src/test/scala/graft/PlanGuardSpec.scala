@@ -73,7 +73,7 @@ class PlanGuardSpec extends SparkTestBase {
     val docs = graft.tools.DedupCorpus.generate(spark, 500, 4, degen = 100)
     for (df <- Seq(
         graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
-          numHashes = 32, bands = 8, threshold = 0.9, materialize = false),
+          numHashes = 32, bands = 8, threshold = 0.9),
         graft.ops.Dedup.simhashNearDups(docs, "doc_id", "text"),
         graft.ops.Dedup.embeddingNearDups(
           docs.select(col("doc_id"),
