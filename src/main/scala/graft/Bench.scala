@@ -21,8 +21,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle spill/files on tmpfs when available: the VM's /tmp disk is the
+    // one resource that cannot scale with cores (a real cluster provisions
+    // NVMe/ramdisk for shuffle); falls back to /tmp if /dev/shm is absent
+    val localDir = {
+      val shm = new java.io.File("/dev/shm/spark-graft")
+      if (shm.isDirectory || shm.mkdirs()) shm.getAbsolutePath else "/tmp"
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // small split targets so the benchmark parquet (few hundred MB) still
@@ -135,19 +143,42 @@ object Bench {
         dedupPairs = (mh, sh)
       } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
+    // dedup COMPUTE control: the same scan + tokenize + shingle + signature
+    // leg reduced to one aggregate — zero wide-shuffle bytes, pure codegen.
+    // Its in-window scaling efficiency is the tightest ceiling any
+    // shuffle-bearing dedup job can reach on this box (BENCH/BASELINE.md
+    // round-4: pure compute itself caps at ~0.6 in stolen windows while
+    // the validate probe's longer scan stays ≥0.8).
+    def dedupCompute(width: Int): Unit = {
+      val base = spark.read.parquet(dedupPath)
+      val docs = if (width > 0) base.coalesce(width) else base
+      docs.select(graft.functions.HashExpressions.minhashSignatureNative(
+          graft.ops.Dedup.shingleHashes(col("text"), 3),
+          graft.tools.DedupCorpus.Probe.NumHashes).as("sig"))
+        .select(element_at(col("sig"), 1).as("s1"))
+        .agg(sum("s1")).collect(): Unit
+    }
     val d8 = scala.collection.mutable.ArrayBuffer[Double]()
     val dFull = scala.collection.mutable.ArrayBuffer[Double]()
-    dedupAll(8); dedupAll(0) // warm-up
+    val dc8 = scala.collection.mutable.ArrayBuffer[Double]()
+    val dcFull = scala.collection.mutable.ArrayBuffer[Double]()
+    dedupAll(8); dedupAll(0); dedupCompute(8); dedupCompute(0) // warm-up
     for (_ <- 1 to 3) {
       d8 += timeIt(dedupAll(8))
       dFull += timeIt(dedupAll(0))
+      dc8 += timeIt(dedupCompute(8))
+      dcFull += timeIt(dedupCompute(0))
     }
     val dedup8 = nDedup / d8.min
     val dedupFull = nDedup / dFull.min
     val dedupEfficiency = (dedupFull / dedup8) / widthRatio
+    val dedupCompute8 = nDedup / dc8.min
+    val dedupComputeFull = nDedup / dcFull.min
+    val dedupComputeEfficiency = (dedupComputeFull / dedupCompute8) / widthRatio
     val expectedPairs = graft.tools.DedupCorpus.expectedClusterPairs(nDedup)
     System.err.println(f"[bench] dedup: 8-wide ${dedup8}%.0f docs/s, $cpus-wide ${dedupFull}%.0f docs/s, " +
-      f"eff=$dedupEfficiency%.2f; minhash pairs=${dedupPairs._1} (expected clusters $expectedPairs), simhash pairs=${dedupPairs._2}")
+      f"eff=$dedupEfficiency%.2f (compute-control eff=$dedupComputeEfficiency%.2f); " +
+      f"minhash pairs=${dedupPairs._1} (expected clusters $expectedPairs), simhash pairs=${dedupPairs._2}")
 
     // SPARK_GRAFT_SKIP_SWEEP=1 → probes only (cheap window sampling: run
     // until the gen-control efficiency certifies a quiet window, then keep
@@ -178,7 +209,7 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsMed = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":${tFull.min},"validate_docs_per_sec":$thrFull,"validate_docs_per_sec_8wide":$thr8,"scaling_efficiency_8_to_$cpus":$efficiency,"gen_control_docs_per_sec":$genFull,"gen_control_docs_per_sec_8wide":$gen8,"gen_control_scaling_efficiency":$genEfficiency,"dedup_docs":$nDedup,"dedup_docs_per_sec":$dedupFull,"dedup_docs_per_sec_8wide":$dedup8,"dedup_scaling_efficiency":$dedupEfficiency,"dedup_minhash_pairs":${dedupPairs._1},"dedup_expected_cluster_pairs":$expectedPairs,"dedup_simhash_pairs":${dedupPairs._2},"host_steal_pct":$stealPct,"trials":3,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":${tFull.min},"validate_docs_per_sec":$thrFull,"validate_docs_per_sec_8wide":$thr8,"scaling_efficiency_8_to_$cpus":$efficiency,"gen_control_docs_per_sec":$genFull,"gen_control_docs_per_sec_8wide":$gen8,"gen_control_scaling_efficiency":$genEfficiency,"dedup_docs":$nDedup,"dedup_docs_per_sec":$dedupFull,"dedup_docs_per_sec_8wide":$dedup8,"dedup_scaling_efficiency":$dedupEfficiency,"dedup_compute_docs_per_sec":$dedupComputeFull,"dedup_compute_docs_per_sec_8wide":$dedupCompute8,"dedup_compute_scaling_efficiency":$dedupComputeEfficiency,"dedup_minhash_pairs":${dedupPairs._1},"dedup_expected_cluster_pairs":$expectedPairs,"dedup_simhash_pairs":${dedupPairs._2},"host_steal_pct":$stealPct,"trials":3,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -60,7 +60,8 @@ abstract class VerifiedPairsBase extends Expression with Generator with CodegenF
   protected final def structType: StructType =
     child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
 
-  protected final def idType: DataType = structType.fields(0).dataType
+  /** Id (first output) column type; IdPairs overrides for bare-id input. */
+  protected def idTypeOf: DataType = structType.fields(0).dataType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(st: StructType, _) if st.fields.length == 2 =>
@@ -79,12 +80,12 @@ abstract class VerifiedPairsBase extends Expression with Generator with CodegenF
   }
 
   override def elementSchema: StructType = StructType(Seq(
-    StructField("id_a", idType, nullable = true),
-    StructField("id_b", idType, nullable = true),
+    StructField("id_a", idTypeOf, nullable = true),
+    StructField("id_b", idTypeOf, nullable = true),
     StructField(scoreName, scoreType, nullable = false)))
 
   @transient protected final lazy val idOrdering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(idType).asInstanceOf[Ordering[Any]]
+    TypeUtils.getInterpretedOrdering(idTypeOf).asInstanceOf[Ordering[Any]]
 
   /** Copy values that may point into a reused input buffer. */
   protected final def copyId(v: Any): Any = v match {
@@ -141,7 +142,7 @@ case class MinhashPairs(child: Expression, numHashes: Int, threshold: Double)
             var k = 0
             while (ok && k < numHashes) { if (sa.isNullAt(k)) ok = false; k += 1 }
             if (ok) {
-              ids(m) = copyId(st.get(0, idType))
+              ids(m) = copyId(st.get(0, idTypeOf))
               sigs(m) = sa.toIntArray()
               m += 1
             }
@@ -162,6 +163,55 @@ case class MinhashPairs(child: Expression, numHashes: Int, threshold: Double)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MinhashPairs =
+    copy(child = newChildren.head)
+}
+
+/**
+ * UNVERIFIED candidate pairs from one LSH bucket holding bare ids
+ * (`array<id>`): emits every ordered (id_a, id_b) pair. The narrow-shuffle
+ * leg of `Dedup.minhashNearDups(carrySig = false)`: banding shuffles only
+ * (bucket, id) rows and verification re-joins signatures afterwards —
+ * the score column is a constant TRUE placeholder so the generator family
+ * shares one output arity.
+ */
+case class IdPairs(child: Expression) extends VerifiedPairsBase {
+
+  override protected def scoreName: String = "cand"
+  override protected def scoreType: DataType = BooleanType
+  override protected def payloadCheck(dt: DataType): Boolean = true
+
+  // child is array<id>, not array<struct<id, payload>>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+                   StringType | BinaryType | DateType | TimestampType | BooleanType |
+                   (_: DecimalType), _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"IdPairs requires array<atomic id>, got $other")
+  }
+
+  override protected def idTypeOf: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val ids = new Array[Any](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        ids(m) = copyId(arr.get(i, idTypeOf))
+        m += 1
+      }
+      i += 1
+    }
+    pairIterator(m, (i, j) => emit(ids(i), ids(j), true))
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): IdPairs =
     copy(child = newChildren.head)
 }
 
@@ -191,7 +241,7 @@ case class HammingPairs(child: Expression, maxHamming: Int) extends VerifiedPair
       if (!arr.isNullAt(i)) {
         val st = arr.getStruct(i, 2)
         if (!st.isNullAt(0) && !st.isNullAt(1)) {
-          ids(m) = copyId(st.get(0, idType))
+          ids(m) = copyId(st.get(0, idTypeOf))
           sigs(m) = st.getLong(1)
           m += 1
         }
@@ -253,7 +303,7 @@ case class CosinePairs(child: Expression, threshold: Double) extends VerifiedPai
             k += 1
           }
           if (ok) {
-            ids(m) = copyId(st.get(0, idType))
+            ids(m) = copyId(st.get(0, idTypeOf))
             vecs(m) = d
             m += 1
           }

@@ -152,10 +152,26 @@ object Dedup {
    *
    * At cluster scale nothing here needs persistence or checkpointing: the
    * output is a plain DataFrame — write it to a table for durability.
+   *
+   * `carrySig` picks the shuffle-width tradeoff:
+   *  - `true` (default): the banding shuffle carries (bucket, id, sig) —
+   *    ~`bands`× the signature bytes per doc through ONE exchange, zero
+   *    recomputation. Right when the corpus fits one pass and bandwidth per
+   *    PASS dominates (single box, small-to-mid clusters).
+   *  - `false`: the banding shuffle carries only (bucket, id) — ~6% of the
+   *    wide variant's bytes — and candidates are verified by TWO re-joins
+   *    against the signature projection, which is recomputed per join side
+   *    (signatures are cheap one-pass codegen; recompute ≪ shuffling them).
+   *    The joins are left to the planner: with a small candidate set AQE
+   *    converts them to broadcasts and the signature sides stream with no
+   *    shuffle at all. Right at 10^12-doc scale where the wide variant's
+   *    `bands`·sig·n shuffle is petabytes but candidates are merely
+   *    billions.
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
-      threshold: Double = 0.7, maxBucket: Int = 100000): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 100000,
+      carrySig: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // two-step projection: shingle hashes materialize ONCE, then 32 permuted
@@ -176,16 +192,37 @@ object Dedup {
       xxhash64(lit(b) +: (0 until rowsPerBand)
         .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
     }
-    val banded = withSig.select(col("id"), col("sig"),
-      explode(array(bandKeys: _*)).as("bucket"))
-    val buckets = banded.groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("items"))
-    val capped = if (maxBucket > 0) buckets.where(size(col("items")) <= maxBucket) else buckets
-    capped
-      .select(graft.functions.HashExpressions
-        .minhashPairs(col("items"), numHashes, threshold)
-        .as(Seq("id_a", "id_b", "sig_sim")))
-      .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
+    if (carrySig) {
+      val banded = withSig.select(col("id"), col("sig"),
+        explode(array(bandKeys: _*)).as("bucket"))
+      val buckets = banded.groupBy("bucket")
+        .agg(collect_list(struct(col("id"), col("sig"))).as("items"))
+      val capped = if (maxBucket > 0) buckets.where(size(col("items")) <= maxBucket) else buckets
+      capped
+        .select(graft.functions.HashExpressions
+          .minhashPairs(col("items"), numHashes, threshold)
+          .as(Seq("id_a", "id_b", "sig_sim")))
+        .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
+    } else {
+      // narrow leg: column pruning drops sig from the shuffle (band keys
+      // are computed from it map-side, then only (bucket, id) moves)
+      val banded = withSig.select(col("id"), explode(array(bandKeys: _*)).as("bucket"))
+      val buckets = banded.groupBy("bucket").agg(collect_list(col("id")).as("ids"))
+      val capped = if (maxBucket > 0) buckets.where(size(col("ids")) <= maxBucket) else buckets
+      val cands = capped
+        .select(graft.functions.HashExpressions.idPairs(col("ids"))
+          .as(Seq("id_a", "id_b", "cand")))
+        .dropDuplicates("id_a", "id_b")
+        .select("id_a", "id_b")
+      cands
+        .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .withColumn("sig_sim",
+          graft.functions.HashExpressions.intArrayEqCount(col("sig_a"), col("sig_b"))
+            .cast(DoubleType) / lit(numHashes))
+        .where(col("sig_sim") >= threshold)
+        .select("id_a", "id_b", "sig_sim")
+    }
   }
 
   /**

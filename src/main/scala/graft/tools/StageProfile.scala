@@ -23,8 +23,13 @@ object StageProfile {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
-        val taskMs = si.taskMetrics.executorRunTime
-        println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d wall=${wall}%6d ms taskTime=${taskMs}%7d ms  ${si.name.takeWhile(_ != '\n').take(60)}")
+        val m = si.taskMetrics
+        println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d wall=${wall}%6d ms " +
+          f"taskTime=${m.executorRunTime}%7d ms cpu=${m.executorCpuTime / 1000000}%7d ms " +
+          f"gc=${m.jvmGCTime}%6d ms deser=${m.executorDeserializeTime}%5d ms " +
+          f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1048576}%5d MB " +
+          f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1048576}%5d MB " +
+          f"in=${m.inputMetrics.bytesRead / 1048576}%5d MB  ${si.name.takeWhile(_ != '\n').take(40)}")
       }
     }
     spark.sparkContext.addSparkListener(listener)
