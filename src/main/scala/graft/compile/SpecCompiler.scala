@@ -144,11 +144,32 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
         e.emit(c.isNotNull && !c.isin(vals: _*), s"unknown-value:$path", path, c)
     }
 
+  /** Occurrence counts of type defs along the current expansion path — the
+    * compile-time unroll state for finite-but-recursive types (reference
+    * matrix `tests/infinite_types/finite*.piqi`). The root record counts as
+    * its first occurrence. */
+  private def rootSeen: Map[String, Int] = Map(spec.root -> 1)
+
+  private def atCutoff(n: String, seen: Map[String, Int]): Boolean =
+    seen.getOrElse(n, 0) >= spec.maxDepth
+
+  private def bump(n: String, seen: Map[String, Int]): Map[String, Int] =
+    seen.updated(n, seen.getOrElse(n, 0) + 1)
+
+  /** Beyond-depth presence: the schema types this subtree as raw-capture
+    * string ([[graft.io.Convert.jsonSchema]] cutoff), so non-null means a
+    * document deeper than the configured unroll — a violation, the
+    * depth-bounded analog of the reference's unbounded recursion. */
+  private def depthVio[R](e: Emitter[R], c: Column, path: String): R =
+    e.emit(c.isNotNull, s"depth:$path", path,
+      lit(s"recursion deeper than maxDepth=${spec.maxDepth}"))
+
   /**
    * Violations for a single value of type `t` at column `c` (all value
    * checks self-guard on non-null; required/optional is the caller's job).
    */
-  private def valueVios[R](e: Emitter[R], t: PiqiType, c: Column, path: String): Seq[R] = {
+  private def valueVios[R](e: Emitter[R], t: PiqiType, c: Column, path: String,
+      seen: Map[String, Int]): Seq[R] = {
     val (base, aliasCs) = unalias(t)
     val aliasVios = constraintVios(e, c, path, aliasCs)
     val ownVios: Seq[R] = base match {
@@ -166,17 +187,20 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
           Seq(e.emit(c.isNotNull && (c.cast(LongType) < lo || c.cast(LongType) > hi),
             s"range:$path", path, c))
         else Nil
-      case TypeRef(_) =>
+      case TypeRef(n) =>
         resolveDef(base) match {
           case Some(EnumDef(_, options)) =>
             // unknown enum option → error (`piqobj_of_json.ml:270-284`)
             Seq(e.emit(c.isNotNull && !c.isin(options: _*), s"unknown-enum:$path", path, c))
           case Some(RecordDef(_, fields)) =>
-            recordVios(e, fields, c, path, guard = c.isNotNull)
+            if (atCutoff(n, seen)) Seq(depthVio(e, c, path))
+            else recordVios(e, fields, c, path, guard = c.isNotNull, bump(n, seen))
           case Some(VariantDef(_, options)) =>
-            variantVios(e, options, c, path)
+            if (atCutoff(n, seen)) Seq(depthVio(e, c, path))
+            else variantVios(e, options, c, path, bump(n, seen))
           case Some(ListDef(_, elem, elemCs)) =>
-            Seq(listVios(e, elem, elemCs, c, path))
+            if (atCutoff(n, seen)) Seq(depthVio(e, c, path))
+            else Seq(listVios(e, elem, elemCs, c, path, bump(n, seen)))
           case _ => Nil
         }
       case _ => Nil
@@ -186,15 +210,16 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
 
   /** Record fields: required/optional/repeated semantics (SURVEY.md B1-B8). */
   private def recordVios[R](e: Emitter[R], fields: Seq[PField], rec: Column, path: String,
-      guard: Column): Seq[R] = {
+      guard: Column, seen: Map[String, Int]): Seq[R] = {
     fields.flatMap { f =>
       val c = rec.getField(f.name)
       val p = if (path.isEmpty) f.name else s"$path.${f.name}"
-      fieldVios(e, f, c, p, guard)
+      fieldVios(e, f, c, p, guard, seen)
     }
   }
 
-  private def fieldVios[R](e: Emitter[R], f: PField, c: Column, p: String, guard: Column): Seq[R] = {
+  private def fieldVios[R](e: Emitter[R], f: PField, c: Column, p: String, guard: Column,
+      seen: Map[String, Int]): Seq[R] = {
     val modeVios: Seq[R] = f.mode match {
       case Required =>
         // exactly one instance must be present (`piqobj_of_json.ml:192-197`)
@@ -204,29 +229,30 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
       case Flag => Nil        // desugared in Spec.resolved
     }
     val bodyVios: Seq[R] = f.mode match {
-      case Repeated => Seq(listVios(e, f.tpe, f.constraints, c, p))
-      case _ => valueVios(e, f.tpe, c, p) ++ constraintVios(e, c, p, f.constraints)
+      case Repeated => Seq(listVios(e, f.tpe, f.constraints, c, p, seen))
+      case _ => valueVios(e, f.tpe, c, p, seen) ++ constraintVios(e, c, p, f.constraints)
     }
     modeVios ++ bodyVios
   }
 
   /** Exactly one non-null option per variant value (`piqobj_of_json.ml:248-253`). */
-  private def variantVios[R](e: Emitter[R], options: Seq[POption], c: Column, path: String): Seq[R] = {
+  private def variantVios[R](e: Emitter[R], options: Seq[POption], c: Column, path: String,
+      seen: Map[String, Int]): Seq[R] = {
     val nonNullCnt = options.map(o => c.getField(o.name).isNotNull.cast(IntegerType))
       .reduce(_ + _)
     val exactly = e.emit(c.isNotNull && nonNullCnt =!= 1, s"exactly-one:$path", path,
       concat_ws("|", options.map(o => when(c.getField(o.name).isNotNull, lit(o.name))): _*))
     val optionChecks = options.flatMap { o =>
-      o.tpe.toSeq.flatMap(t => valueVios(e, t, c.getField(o.name), s"$path.${o.name}"))
+      o.tpe.toSeq.flatMap(t => valueVios(e, t, c.getField(o.name), s"$path.${o.name}", seen))
     }
     exactly +: optionChecks
   }
 
   /** Element-wise list validation (higher-order transform — unavoidable for arrays). */
   private def listVios[R](e: Emitter[R], elem: PiqiType, elemCs: Seq[Constraint],
-      arr: Column, path: String): R =
+      arr: Column, path: String, seen: Map[String, Int]): R =
     e.fromArray(arr, path, (x, _) =>
-      e.combine(valueVios(e, elem, x, path) ++ constraintVios(e, x, path, elemCs)))
+      e.combine(valueVios(e, elem, x, path, seen) ++ constraintVios(e, x, path, elemCs)))
 
   /** Cross-field / ordering rules (north-rule additions, SURVEY.md §2.D). */
   private def rowRuleVios[R](e: Emitter[R], r: RowRule,
@@ -279,7 +305,7 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
 
   private def rootWalk[R](e: Emitter[R], resolve: String => Column = col): R = {
     val fieldRs = rootRecord.fields.flatMap(f =>
-      fieldVios(e, f, resolve(f.name), f.name, lit(true)))
+      fieldVios(e, f, resolve(f.name), f.name, lit(true), rootSeen))
     val ruleRs = spec.rowRules.flatMap(r => rowRuleVios(e, r, resolve))
     e.combine(fieldRs ++ ruleRs)
   }
@@ -307,6 +333,8 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
               s"unknown-enum:${f.name}.$f2", s"${f.name}[", s"].$f2")
             case r @ RuleRange(f2, _, _) => DetailRule(r,
               s"range:${f.name}.$f2", s"${f.name}[", s"].$f2")
+            case r @ RuleRangeDecimal(f2, _, _) => DetailRule(r,
+              s"range:${f.name}.$f2", s"${f.name}[", s"].$f2")
             case r @ RuleExactlyOne(_) => DetailRule(r, // not produced by nativeArrayRules
               s"exactly-one:${f.name}", s"${f.name}[", "]")
             case r @ RuleIncreasing(fld) => DetailRule(r,
@@ -330,7 +358,7 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
     val fieldCols: Seq[Column] = rootRecord.fields.flatMap { f =>
       detailByField.get(f.name) match {
         case Some((rules, _)) => Seq(StructArrayRuleDetail.column(col(f.name), rules))
-        case None => fieldVios(DetailEmitter, f, col(f.name), f.name, lit(true))
+        case None => fieldVios(DetailEmitter, f, col(f.name), f.name, lit(true), rootSeen)
       }
     }
     val rowCols = spec.rowRules.filterNot(absorbedRowRules)
@@ -377,7 +405,9 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
             case PInt(lo, hi) =>
               if (lo != Long.MinValue || hi != Long.MaxValue) rules += RuleRange(f2.name, lo, hi)
             case PBool | PFloat | PFloat32 | PString | PBinary | PAny => ()
-            case PUInt64 => return None // decimal compare → generic path
+            case PUInt64 =>
+              rules += RuleRangeDecimal(f2.name,
+                java.math.BigDecimal.ZERO, SpecCompiler.UInt64Max)
             case TypeRef(_) => resolveDef(b2) match {
               case Some(EnumDef(_, opts)) => rules += RuleInSet(f2.name, opts)
               case _ => return None // nested records/variants/lists → generic
@@ -439,7 +469,7 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
         case Some((rules, _)) =>
           Seq(StructArrayRuleCount.column(col(f.name), rules))
         case None =>
-          fieldVios(CountEmitter, f, col(f.name), f.name, lit(true))
+          fieldVios(CountEmitter, f, col(f.name), f.name, lit(true), rootSeen)
       }
     }
     val rowCols = spec.rowRules.filterNot(absorbedRowRules)
@@ -469,7 +499,7 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
   def withDefaults(df: DataFrame): DataFrame = {
     val cols = rootRecord.fields.map { f =>
       val dt = df.schema.find(_.name == f.name).map(_.dataType)
-      defaultizeField(col(f.name), f, dt, rootRepeatedToEmpty = true).as(f.name)
+      defaultizeField(col(f.name), f, dt, rootRepeatedToEmpty = true, rootSeen).as(f.name)
     }
     df.select(cols: _*)
   }
@@ -490,35 +520,37 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
   }
 
   private def defaultizeField(c: Column, f: PField, dt: Option[DataType],
-      rootRepeatedToEmpty: Boolean): Column = f.mode match {
-    case Optional(Some(d)) => coalesce(defaultizeValue(c, f.tpe, dt), lit(d))
+      rootRepeatedToEmpty: Boolean, seen: Map[String, Int]): Column = f.mode match {
+    case Optional(Some(d)) => coalesce(defaultizeValue(c, f.tpe, dt, seen), lit(d))
     case Repeated =>
       val elemDt = dt.collect { case ArrayType(e, _) => e }
       val applied =
-        if (typeHasDefaults(f.tpe)) transform(c, e => defaultizeValue(e, f.tpe, elemDt))
+        if (typeHasDefaults(f.tpe)) transform(c, e => defaultizeValue(e, f.tpe, elemDt, seen))
         else c
       // absent repeated ≡ empty on output (`piqobj_of_json.ml:221-229`)
       dt match {
         case Some(t) if rootRepeatedToEmpty => coalesce(applied, array().cast(t))
         case _ => applied
       }
-    case _ => defaultizeValue(c, f.tpe, dt)
+    case _ => defaultizeValue(c, f.tpe, dt, seen)
   }
 
-  private def defaultizeValue(c: Column, t: PiqiType, dt: Option[DataType]): Column = {
+  private def defaultizeValue(c: Column, t: PiqiType, dt: Option[DataType],
+      seen: Map[String, Int]): Column = {
     val (base, _) = unalias(t)
     base match {
-      case TypeRef(_) if typeHasDefaults(base) => resolveDef(base) match {
+      case TypeRef(n) if typeHasDefaults(base) && !atCutoff(n, seen) => resolveDef(base) match {
         case Some(RecordDef(_, fields)) =>
           val st = dt.collect { case s: StructType => s }
           val rebuilt = struct(fields.map { f2 =>
             val fdt = st.flatMap(_.find(_.name == f2.name)).map(_.dataType)
-            defaultizeField(c.getField(f2.name), f2, fdt, rootRepeatedToEmpty = true).as(f2.name)
+            defaultizeField(c.getField(f2.name), f2, fdt, rootRepeatedToEmpty = true,
+              bump(n, seen)).as(f2.name)
           }: _*)
           when(c.isNull, lit(null)).otherwise(rebuilt)
         case Some(ListDef(_, elem, _)) =>
           val elemDt = dt.collect { case ArrayType(e, _) => e }
-          transform(c, e => defaultizeValue(e, elem, elemDt))
+          transform(c, e => defaultizeValue(e, elem, elemDt, bump(n, seen)))
         case _ => c
       }
       case _ => c

@@ -20,6 +20,10 @@ final case class RuleNotNull(field: String) extends ArrayRule
 final case class RuleInSet(field: String, values: Seq[String]) extends ArrayRule
 /** numeric range (`range`), evaluated in long space (int/long fields). */
 final case class RuleRange(field: String, lo: Long, hi: Long) extends ArrayRule
+/** numeric range over a DecimalType field (`range`) — the PUInt64 path:
+  * full-uint64 bounds don't fit long space (NOTES #7 retired). */
+final case class RuleRangeDecimal(field: String,
+    lo: java.math.BigDecimal, hi: java.math.BigDecimal) extends ArrayRule
 /** exactly one of the fields non-null per element (`exactly-one`). */
 final case class RuleExactlyOne(fields: Seq[String]) extends ArrayRule
 /** strictly increasing field across elements — ONE violation per row (`order`). */
@@ -84,6 +88,17 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
       f -> s
     }.toMap
 
+  /** (precision, scale) of a decimal rule field, from the physical type. */
+  private def decPS(f: String): (Int, Int) = structType(ord(f)).dataType match {
+    case d: DecimalType => (d.precision, d.scale)
+    case other => throw new IllegalArgumentException(
+      s"RuleRangeDecimal field $f: expected decimal, got $other")
+  }
+  private lazy val decBounds: Map[String, (Decimal, Decimal)] =
+    rules.collect { case RuleRangeDecimal(f, lo, hi) =>
+      f -> ((Decimal(lo), Decimal(hi)))
+    }.toMap
+
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return 0
@@ -116,6 +131,14 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
             if (!s.isNullAt(o)) {
               val x = if (isLongField(f)) s.getLong(o) else s.getInt(o).toLong
               if (x < lo || x > hi) cnt += 1
+            }
+          case RuleRangeDecimal(f, _, _) =>
+            val o = ord(f)
+            if (!s.isNullAt(o)) {
+              val (p, sc) = decPS(f)
+              val d = s.getDecimal(o, p, sc)
+              val (lo, hi) = decBounds(f)
+              if (d.compare(lo) < 0 || d.compare(hi) > 0) cnt += 1
             }
           case RuleExactlyOne(fs) =>
             var nn = 0
@@ -165,6 +188,16 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
       case (RuleRange(f, lo, hi), _) =>
         val o = ord(f)
         s"""if (!$s.isNullAt($o)) { long _x = ${getNum(f, o)}; if (_x < ${lo}L || _x > ${hi}L) $cnt++; }"""
+      case (RuleRangeDecimal(f, _, _), idx) =>
+        val o = ord(f)
+        val (p, sc) = decPS(f)
+        val (loD, hiD) = decBounds(f)
+        val loRef = ctx.addReferenceObj(s"declo$idx", loD, classOf[Decimal].getName)
+        val hiRef = ctx.addReferenceObj(s"dechi$idx", hiD, classOf[Decimal].getName)
+        s"""if (!$s.isNullAt($o)) {
+           |  org.apache.spark.sql.types.Decimal _d = $s.getDecimal($o, $p, $sc);
+           |  if (_d.compare($loRef) < 0 || _d.compare($hiRef) > 0) $cnt++;
+           |}""".stripMargin
       case (RuleExactlyOne(fs), _) =>
         val nnChecks = fs.map(f => s"if (!$s.isNullAt(${ord(f)})) _nn++;").mkString(" ")
         s"{ int _nn = 0; $nnChecks if (_nn != 1) $cnt++; }"

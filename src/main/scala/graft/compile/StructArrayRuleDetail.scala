@@ -86,9 +86,22 @@ case class StructArrayRuleDetail(child: Expression, rules: Seq[DetailRule])
     case RuleNotNull(f) => ord(f)
     case RuleInSet(f, _) => ord(f)
     case RuleRange(f, _, _) => ord(f)
+    case RuleRangeDecimal(f, _, _) => ord(f)
     case RuleIncreasing(f) => ord(f)
     case _: RuleExactlyOne => -1
   })
+  /** (precision, scale, lo, hi) per decimal-range rule; null otherwise. */
+  private lazy val decInfo: Array[(Int, Int, Decimal, Decimal)] =
+    rulesArr.map(_.rule match {
+      case RuleRangeDecimal(f, lo, hi) =>
+        val (p, sc) = structType(ord(f)).dataType match {
+          case d: DecimalType => (d.precision, d.scale)
+          case other => throw new IllegalArgumentException(
+            s"RuleRangeDecimal field $f: expected decimal, got $other")
+        }
+        (p, sc, Decimal(lo), Decimal(hi))
+      case _ => null
+    })
   private lazy val ruleIsLong: Array[Boolean] = rulesArr.map(_.rule match {
     case RuleRange(f, _, _) => isLongField(f)
     case RuleIncreasing(f) => isLongField(f)
@@ -168,6 +181,15 @@ case class StructArrayRuleDetail(child: Expression, rules: Seq[DetailRule])
                 val x = if (ruleIsLong(k)) s.getLong(o) else s.getInt(o).toLong
                 if (x < lo || x > hi)
                   add(vioRow(k, path(k, i), UTF8String.fromString(String.valueOf(x))))
+              }
+            case RuleRangeDecimal(_, _, _) =>
+              val o = ruleOrd(k)
+              if (!s.isNullAt(o)) {
+                val (p, sc, lo, hi) = decInfo(k)
+                val d = s.getDecimal(o, p, sc)
+                // detail text = decimal→string cast, same as the generic form
+                if (d.compare(lo) < 0 || d.compare(hi) > 0)
+                  add(vioRow(k, path(k, i), UTF8String.fromString(d.toString)))
               }
             case RuleExactlyOne(_) =>
               val ords = oneOfOrds(k)

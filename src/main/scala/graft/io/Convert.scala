@@ -27,7 +27,12 @@ object Convert {
 
   private def schemaFor(spec: Spec, external: Boolean): StructType = {
     val s = spec.resolved
-    def dataTypeOf(t: PiqiType): DataType = t match {
+    // finite-but-recursive types (SpecChecks A5 productivity semantics) are
+    // unrolled to spec.maxDepth occurrences per type def; at the cutoff the
+    // subtree is typed StringType — Spark's JSON parser captures any value
+    // as its raw text for a string field, so beyond-depth content survives
+    // as a raw blob and the compiled plan's `depth:` rule can see presence
+    def dataTypeOf(t: PiqiType, seen: Map[String, Int]): DataType = t match {
       case PBool => BooleanType
       case _: PInt => LongType
       case PFloat => DoubleType
@@ -37,25 +42,34 @@ object Convert {
       case PBinary => BinaryType
       case PAny => StringType // raw JSON capture, parsed lazily (piqobj.ml:267-318 analog)
       case TypeRef(n) => s.defTable(n) match {
-        case RecordDef(_, fields) => StructType(fields.map(structField))
+        case RecordDef(_, fields) =>
+          if (seen.getOrElse(n, 0) >= s.maxDepth) StringType
+          else StructType(fields.map(structField(_, seen.updated(n, seen.getOrElse(n, 0) + 1))))
         case VariantDef(_, options) =>
-          StructType(options.map(o => StructField(
-            if (external) o.jsonKey else o.name,
-            o.tpe.map(dataTypeOf).getOrElse(BooleanType), nullable = true)))
+          if (seen.getOrElse(n, 0) >= s.maxDepth) StringType
+          else {
+            val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+            StructType(options.map(o => StructField(
+              if (external) o.jsonKey else o.name,
+              o.tpe.map(dataTypeOf(_, s2)).getOrElse(BooleanType), nullable = true)))
+          }
         case EnumDef(_, _) => StringType
-        case ListDef(_, e, _) => ArrayType(dataTypeOf(e))
-        case AliasDef(_, target, _) => dataTypeOf(target)
+        case ListDef(_, e, _) =>
+          if (seen.getOrElse(n, 0) >= s.maxDepth) StringType
+          else ArrayType(dataTypeOf(e, seen.updated(n, seen.getOrElse(n, 0) + 1)))
+        case AliasDef(_, target, _) => dataTypeOf(target, seen)
       }
     }
-    def structField(f: PField): StructField = {
+    def structField(f: PField, seen: Map[String, Int]): StructField = {
       val nm = if (external) f.jsonKey else f.name
       f.mode match {
-        case Repeated => StructField(nm, ArrayType(dataTypeOf(f.tpe)), nullable = true)
-        case _ => StructField(nm, dataTypeOf(f.tpe), nullable = true)
+        case Repeated => StructField(nm, ArrayType(dataTypeOf(f.tpe, seen)), nullable = true)
+        case _ => StructField(nm, dataTypeOf(f.tpe, seen), nullable = true)
       }
     }
     s.defTable(s.root) match {
-      case RecordDef(_, fields) => StructType(fields.map(structField))
+      case RecordDef(_, fields) =>
+        StructType(fields.map(structField(_, Map(s.root -> 1))))
       case other => throw new SpecException(s"root must be a record, got $other")
     }
   }
@@ -79,24 +93,33 @@ object Convert {
 
   /** Rebuild a value of type `t` renaming struct fields between the declared
     * (internal) and JSON (external) name spaces. Identity when the subtree
-    * has no json-names. */
-  private def renameTree(c: Column, t: PiqiType, s: Spec, toExternal: Boolean): Column = {
+    * has no json-names. Recursive types stop at the schema's maxDepth cutoff
+    * (the value there is a raw-capture string — nothing to rename; below the
+    * cutoff content stays under its on-the-wire names). */
+  private def renameTree(c: Column, t: PiqiType, s: Spec, toExternal: Boolean,
+      seen: Map[String, Int]): Column = {
     if (!hasRenames(t, s)) return c
     t match {
       case TypeRef(n) => s.defTable(n) match {
+        case _: RecordDef | _: VariantDef | _: ListDef
+            if seen.getOrElse(n, 0) >= s.maxDepth => c
         case RecordDef(_, fields) =>
-          val rebuilt = struct(fields.map(f => fieldValue(c, f, s, toExternal)
+          val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+          val rebuilt = struct(fields.map(f => fieldValue(c, f, s, toExternal, s2)
             .as(if (toExternal) f.jsonKey else f.name)): _*)
           when(c.isNull, lit(null)).otherwise(rebuilt)
         case VariantDef(_, options) =>
+          val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
           val rebuilt = struct(options.map { o =>
             val src = c.getField(if (toExternal) o.name else o.jsonKey)
-            o.tpe.map(renameTree(src, _, s, toExternal)).getOrElse(src)
+            o.tpe.map(renameTree(src, _, s, toExternal, s2)).getOrElse(src)
               .as(if (toExternal) o.jsonKey else o.name)
           }: _*)
           when(c.isNull, lit(null)).otherwise(rebuilt)
-        case ListDef(_, elem, _) => transform(c, e => renameTree(e, elem, s, toExternal))
-        case AliasDef(_, target, _) => renameTree(c, target, s, toExternal)
+        case ListDef(_, elem, _) =>
+          val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+          transform(c, e => renameTree(e, elem, s, toExternal, s2))
+        case AliasDef(_, target, _) => renameTree(c, target, s, toExternal, seen)
         case _ => c
       }
       case _ => c
@@ -104,15 +127,17 @@ object Convert {
   }
 
   /** One record field's renamed value (handles the repeated wrapper). */
-  private def fieldValue(rec: Column, f: PField, s: Spec, toExternal: Boolean): Column =
-    fieldValueFrom(rec.getField(if (toExternal) f.name else f.jsonKey), f, s, toExternal)
+  private def fieldValue(rec: Column, f: PField, s: Spec, toExternal: Boolean,
+      seen: Map[String, Int]): Column =
+    fieldValueFrom(rec.getField(if (toExternal) f.name else f.jsonKey), f, s, toExternal, seen)
 
-  private def fieldValueFrom(src: Column, f: PField, s: Spec, toExternal: Boolean): Column =
+  private def fieldValueFrom(src: Column, f: PField, s: Spec, toExternal: Boolean,
+      seen: Map[String, Int]): Column =
     f.mode match {
       case Repeated =>
-        if (hasRenames(f.tpe, s)) transform(src, e => renameTree(e, f.tpe, s, toExternal))
+        if (hasRenames(f.tpe, s)) transform(src, e => renameTree(e, f.tpe, s, toExternal, seen))
         else src
-      case _ => renameTree(src, f.tpe, s, toExternal)
+      case _ => renameTree(src, f.tpe, s, toExternal, seen)
     }
 
   private def rootFields(spec: Spec): Seq[PField] =
@@ -179,7 +204,8 @@ object Convert {
     }
 
     val flat = parsed.select(
-      (rootFields(spec).map(f => fieldValue(col("_rec"), f, rs, toExternal = false).as(f.name)) :+
+      (rootFields(spec).map(f => fieldValue(col("_rec"), f, rs, toExternal = false,
+        Map(rs.root -> 1)).as(f.name)) :+
         col(jsonCol).as("_raw") :+ parseVio.as("_pv") :+ shapeVio.as("_sv") :+
         SpecCompiler.concatVios(convVios).as("_cv")): _*)
     flat
@@ -217,7 +243,8 @@ object Convert {
         else {
           val ext = from_json(col(anyCol), jsonSchema(spec))
           struct(rootFields(spec)
-            .map(f => fieldValue(ext, f, rs, toExternal = false).as(f.name)): _*)
+            .map(f => fieldValue(ext, f, rs, toExternal = false,
+              Map(rs.root -> 1)).as(f.name)): _*)
         }
       val parseVio = SpecCompiler.vio(
         col(anyCol).isNotNull && json_object_keys(col(anyCol)).isNull,
@@ -337,7 +364,8 @@ object Convert {
     }).map(f => f.name -> f).toMap
     val cols = dataCols.map { cname =>
       byName.get(cname) match {
-        case Some(f) => fieldValueFrom(col(cname), f, s, toExternal = true).as(f.jsonKey)
+        case Some(f) => fieldValueFrom(col(cname), f, s, toExternal = true,
+          Map(s.root -> 1)).as(f.jsonKey)
         case None => col(cname)
       }
     }

@@ -45,19 +45,22 @@ object JsonShape {
   private def members(fields: Seq[PField]): Seq[Member] =
     fields.map(f => Member(f.jsonKey, f.name, f.tpe, f.mode == Repeated))
 
-  /** All key-shape violations for a JSON document string against a spec. */
+  /** All key-shape violations for a JSON document string against a spec.
+    * Finite-but-recursive specs recurse to `spec.maxDepth` occurrences per
+    * type (the schema's unroll depth); beyond-depth content is covered by
+    * the compiled plan's `depth:` rule, not key-shape checks. */
   def checkKeys(jsonCol: Column, spec0: Spec): Column = {
     val spec = spec0.resolved
     val root = spec.defTable(spec.root) match {
       case r: RecordDef => r
       case other => throw new SpecException(s"root must be a record, got $other")
     }
-    objectVios(jsonCol, members(root.fields), "$", spec)
+    objectVios(jsonCol, members(root.fields), "$", spec, Map(spec.root -> 1))
   }
 
   /** Violations for one object level: key checks + recursion into values. */
   private def objectVios(objStr: Column, ms: Seq[Member], path: String,
-      spec: Spec): Column = {
+      spec: Spec, seen: Map[String, Int]): Column = {
     val keys = json_object_keys(objStr)
     val keysOrEmpty = coalesce(keys, array().cast(strArr))
     val knownKeys = ms.map(_.key)
@@ -76,20 +79,24 @@ object JsonShape {
     val m = from_json(objStr, strMap)
     val subVios: Seq[Column] = ms.sortBy(_.key).map { mem =>
       valueVios(element_at(m, mem.key), mem.tpe, repeated = mem.repeated,
-        s"$path.${mem.name}", spec)
+        s"$path.${mem.name}", spec, seen)
     }
     SpecCompiler.concatVios(unknownVio +: dupVio +: subVios)
   }
 
   /** Violations for one raw value string of declared type `tpe`. */
   private def valueVios(valStr: Column, tpe: PiqiType, repeated: Boolean,
-      path: String, spec: Spec): Column = {
+      path: String, spec: Spec, seen: Map[String, Int]): Column = {
     val present = valStr.isNotNull && trim(valStr) =!= "null" // JSON null ≡ missing (B5)
-    if (repeated) arrayVios(valStr, present, tpe, path, spec)
+    if (repeated) arrayVios(valStr, present, tpe, path, spec, seen)
     else unalias(tpe, spec) match {
       case TypeRef(n) => spec.defTable(n) match {
+        case _: RecordDef | _: VariantDef | _: ListDef
+            if seen.getOrElse(n, 0) >= spec.maxDepth =>
+          SpecCompiler.emptyVio // beyond-depth: the plan's depth: rule reports
         case RecordDef(_, fields) =>
-          recordValueVios(valStr, present, fields, path, spec)
+          recordValueVios(valStr, present, fields, path, spec,
+            seen.updated(n, seen.getOrElse(n, 0) + 1))
         case VariantDef(_, options) =>
           // variant object: option JSON keys are the only legal keys; recurse
           // into record-typed option payloads
@@ -98,10 +105,11 @@ object JsonShape {
           val shape = SpecCompiler.vio(present && json_object_keys(valStr).isNull,
             "parse:object-expected", path, valStr)
           concat(shape, when(present && json_object_keys(valStr).isNotNull,
-            objectVios(valStr, ms, path, spec))
+            objectVios(valStr, ms, path, spec, seen.updated(n, seen.getOrElse(n, 0) + 1)))
             .otherwise(SpecCompiler.emptyVio))
         case ListDef(_, elem, _) =>
-          arrayVios(valStr, present, elem, path, spec)
+          arrayVios(valStr, present, elem, path, spec,
+            seen.updated(n, seen.getOrElse(n, 0) + 1))
         case _ => SpecCompiler.emptyVio // enums/aliased scalars: no key shape
       }
       case _ => SpecCompiler.emptyVio // scalar: value checks are the compiler's job
@@ -109,25 +117,27 @@ object JsonShape {
   }
 
   private def recordValueVios(valStr: Column, present: Column, fields: Seq[PField],
-      path: String, spec: Spec): Column = {
+      path: String, spec: Spec, seen: Map[String, Int]): Column = {
     val shape = SpecCompiler.vio(present && json_object_keys(valStr).isNull,
       "parse:object-expected", path, valStr)
     val inner = when(present && json_object_keys(valStr).isNotNull,
-      objectVios(valStr, members(fields), path, spec))
+      objectVios(valStr, members(fields), path, spec, seen))
       .otherwise(SpecCompiler.emptyVio)
     concat(shape, inner)
   }
 
   /** Array value: shape check + per-element recursion with index-stamped paths. */
   private def arrayVios(valStr: Column, present: Column, elemType: PiqiType,
-      path: String, spec: Spec): Column = {
+      path: String, spec: Spec, seen: Map[String, Int]): Column = {
     val elems = from_json(valStr, strArr)
     val shape = SpecCompiler.vio(present && elems.isNull,
       "parse:array-expected", path, valStr)
-    // only recurse when elements can themselves have key shape
+    // only recurse when elements can themselves have key shape (and the
+    // element type is not at its recursion cutoff)
     val needsRecursion = unalias(elemType, spec) match {
       case TypeRef(n) => spec.defTable(n) match {
-        case _: RecordDef | _: VariantDef | _: ListDef => true
+        case _: RecordDef | _: VariantDef | _: ListDef =>
+          seen.getOrElse(n, 0) < spec.maxDepth
         case _ => false
       }
       case _ => false
@@ -135,7 +145,7 @@ object JsonShape {
     if (!needsRecursion) shape
     else {
       val stamped = transform(coalesce(elems, array().cast(strArr)), (e, i) =>
-        transform(valueVios(e, elemType, repeated = false, path, spec), v =>
+        transform(valueVios(e, elemType, repeated = false, path, spec, seen), v =>
           struct(v.getField("rule").as("rule"),
             concat(lit(path), lit("["), i.cast(StringType), lit("]"),
               substring(v.getField("path"), path.length + 1, 1000000)).as("path"),

@@ -141,7 +141,9 @@ final case class Spec(
     root: String,
     rowRules: Seq[RowRule] = Nil,
     imports: Seq[Spec] = Nil,
-    strict: Boolean = false) {
+    strict: Boolean = false,
+    maxDepth: Int = 4) {
+  require(maxDepth >= 1, "maxDepth must be >= 1")
 
   /** All defs visible to this module: own + imported (qualified). */
   lazy val defTable: Map[String, TypeDef] = {
@@ -178,13 +180,32 @@ final case class Spec(
 
   /** Desugared copy: flags become optional bool default false
     * (`piqi.ml:663-682`); default literals normalize to the canonical JSON
-    * scalar domain (Int → Long, Float → Double) so compiled plans and the
-    * SpecJson blob see one representation. */
+    * scalar domain (Int → Long, Float → Double; uint64-typed defaults of any
+    * accepted flavor → java.math.BigDecimal, so `lit(default)` lands as a
+    * DecimalType literal coalescible with the DecimalType(20,0) column) so
+    * compiled plans and the SpecJson blob see one representation. */
   lazy val resolved: Spec = {
-    def norm(v: Any): Any = v match {
-      case i: Int => i.toLong
-      case f: Float => f.toDouble
-      case other => other
+    def baseOf(t: PiqiType, seen: Set[String] = Set.empty): PiqiType = t match {
+      case TypeRef(n) if !seen(n) => defTable.get(n) match {
+        case Some(AliasDef(_, target, _)) => baseOf(target, seen + n)
+        case _ => t
+      }
+      case _ => t
+    }
+    def norm(t: PiqiType, v: Any): Any = baseOf(t) match {
+      case PUInt64 => v match {
+        case i: Int => java.math.BigDecimal.valueOf(i.toLong)
+        case l: Long => java.math.BigDecimal.valueOf(l)
+        case s: String => new java.math.BigDecimal(new java.math.BigInteger(s))
+        case bi: java.math.BigInteger => new java.math.BigDecimal(bi)
+        case bd: java.math.BigDecimal => bd
+        case other => other
+      }
+      case _ => v match {
+        case i: Int => i.toLong
+        case f: Float => f.toDouble
+        case other => other
+      }
     }
     val newDefs = defs.map {
       case RecordDef(n, fs) =>
@@ -192,7 +213,7 @@ final case class Spec(
           case f @ PField(_, _, Flag, _, _, _) =>
             f.copy(tpe = PBool, mode = Optional(Some(false)))
           case f @ PField(_, _, Optional(Some(d)), _, _, _) =>
-            f.copy(mode = Optional(Some(norm(d))))
+            f.copy(mode = Optional(Some(norm(f.tpe, d))))
           case f => f
         })
       case d => d
@@ -201,6 +222,11 @@ final case class Spec(
   }
 
   SpecChecks.checkAll(this)
+}
+
+object Spec {
+  /** 2^64 − 1 (PUInt64 upper bound, `doc/piqi.md:345-347`). */
+  val UInt64MaxInt: java.math.BigInteger = new java.math.BigInteger("18446744073709551615")
 }
 
 /** Raised on structurally invalid specs — compile-time analog of piqi schema errors. */
@@ -217,6 +243,7 @@ object SpecChecks {
     checkDupTypeNames(s)
     s.defs.foreach(d => checkDef(s, d))
     checkRootExists(s)
+    checkTypeRefsResolve(s)
     checkNoInfiniteTypes(s)
   }
 
@@ -282,10 +309,25 @@ object SpecChecks {
         case _ => bad("float")
       }
       case PUInt64 => dft match {
-        // default literals stay in the Long-expressible part of the domain
-        // (the canonical SpecJson scalar set); data values get the full range
+        // full uint64 domain: Int/Long for the Long-expressible part, and
+        // decimal string / BigInteger / BigDecimal for 2^63..2^64−1 (the
+        // canonical SpecJson form serializes these as decimal strings);
+        // Spec.resolved normalizes all flavors to java.math.BigDecimal
         case i: Int => if (i < 0) bad("uint64 (non-negative)")
         case l: Long => if (l < 0) bad("uint64 (non-negative)")
+        case s: String =>
+          val bi = try new java.math.BigInteger(s) catch {
+            case _: NumberFormatException => bad("uint64 (decimal integer string)")
+          }
+          if (bi.signum < 0 || bi.compareTo(Spec.UInt64MaxInt) > 0)
+            bad("uint64 range [0, 2^64-1]")
+        case bi: java.math.BigInteger =>
+          if (bi.signum < 0 || bi.compareTo(Spec.UInt64MaxInt) > 0)
+            bad("uint64 range [0, 2^64-1]")
+        case bd: java.math.BigDecimal =>
+          if (bd.scale > 0 || bd.signum < 0 ||
+              bd.toBigInteger.compareTo(Spec.UInt64MaxInt) > 0)
+            bad("uint64 range [0, 2^64-1]")
         case _ => bad("uint64")
       }
       case PString => if (!dft.isInstanceOf[String]) bad("string")
@@ -314,39 +356,116 @@ object SpecChecks {
   private def checkRootExists(s: Spec): Unit =
     if (!s.defTable.contains(s.root)) fail(s"root type '${s.root}' is not defined")
 
-  /**
-   * Cycle detection, ported from `check_no_infinite_types`
-   * (`piqi.ml:360-498`, DFS 3-color). Deviation (documented, FIXTURES.md S5):
-   * the reference allows optional/repeated cycles; Spark schemas cannot be
-   * recursive, so we reject ALL cycles at compile time.
-   */
-  private def checkNoInfiniteTypes(s: Spec): Unit = {
-    val White = 0; val Gray = 1; val Black = 2
-    val color = scala.collection.mutable.Map[String, Int]().withDefaultValue(White)
-
+  /** Every type name referenced by a def (all edges, regardless of mode). */
+  private def allRefs(d: TypeDef): Seq[String] = {
     def refsOf(t: PiqiType): Seq[String] = t match {
       case TypeRef(n) => Seq(n)
       case _ => Nil
     }
-    def edges(name: String): Seq[String] = s.defTable.get(name).toSeq.flatMap {
+    d match {
       case RecordDef(_, fs) => fs.flatMap(f => refsOf(f.tpe))
       case VariantDef(_, os) => os.flatMap(o => o.tpe.toSeq.flatMap(refsOf))
       case ListDef(_, e, _) => refsOf(e)
       case AliasDef(_, t, _) => refsOf(t)
       case _: EnumDef => Nil
     }
-    def visit(name: String, path: List[String]): Unit = color(name) match {
-      case Black => ()
-      case Gray =>
-        fail(s"recursive type (cycle): ${(name :: path).reverse.mkString(" -> ")}")
-      case _ =>
-        color(name) = Gray
-        edges(name).foreach { dep =>
-          if (s.defTable.contains(dep)) visit(dep, name :: path)
-          else fail(s"unknown type '$dep' referenced from '$name'") // piqi_db.ml:149-153
-        }
-        color(name) = Black
+  }
+
+  /** Every TypeRef target must resolve (`piqi_db.ml:149-153`). */
+  private def checkTypeRefsResolve(s: Spec): Unit =
+    s.defs.foreach { d =>
+      allRefs(d).foreach { dep =>
+        if (!s.defTable.contains(dep))
+          fail(s"unknown type '$dep' referenced from '${d.name}'")
+      }
     }
-    s.defs.foreach(d => visit(d.name, Nil))
+
+  /**
+   * Infinite-type detection — the reference's PRODUCTIVITY check, ported
+   * bit-for-bit from `check_no_infinite_types` (`piqi.ml:360-498`): a type
+   * is finite iff a finite expansion path exists —
+   *  - record: every REQUIRED field's type is finite (loops through
+   *    optional/repeated fields are legal, `piqi.ml:434-440`);
+   *  - variant: at least one option has no type or a finite type;
+   *  - list: the element type is finite (an empty list would terminate, but
+   *    the reference still rejects `list l of l` — we match);
+   *  - alias: the target is finite; pure alias loops report as such.
+   * DFS with a grey (on-path) set; a grey hit means the current path loops.
+   * On failure the node resets to WHITE so a variant can be re-entered via
+   * a different (possibly finite) path — the reference's backtracking.
+   *
+   * Finite-but-recursive types (the reference's `finite.piqi` /
+   * `finite_nested.piqi` matrix) are ACCEPTED; since Spark schemas cannot be
+   * recursive, compilation unrolls them to [[Spec.maxDepth]] occurrences per
+   * type, with beyond-depth presence a `depth:` violation (retires the old
+   * S5 reject-all-cycles deviation).
+   */
+  private def checkNoInfiniteTypes(s: Spec): Unit = {
+    val black = scala.collection.mutable.Set[String]()
+    val grey = scala.collection.mutable.Set[String]()
+    // the reference records the LAST `infinite` error and reports it at the
+    // typedef check (`piqi.ml:394-399,486-492`)
+    var lastErr: String = "infinite type"
+
+    def infinite(err: String): Boolean = {
+      if (err.nonEmpty) lastErr = err
+      false
+    }
+
+    def finitePathExists(name: String): Boolean = {
+      if (black(name)) return true
+      if (grey(name)) {
+        // grey hit: pure alias loops get named here; other kinds report when
+        // the enclosing record/list/variant sees the child infinite
+        return s.defTable.get(name) match {
+          case Some(AliasDef(n, _, _)) => infinite(s"alias '$n' forms a loop")
+          case _ => infinite("")
+        }
+      }
+      grey += name
+      val res = s.defTable.get(name) match {
+        case Some(RecordDef(n, fields)) =>
+          fields.forall { f =>
+            f.mode match {
+              case Required => f.tpe match {
+                case TypeRef(dep) =>
+                  finitePathExists(dep) || infinite(
+                    s"record '$n' is an infinite type (field '${f.name}' forms a loop)")
+                case _ => true
+              }
+              case _ => true // optional/repeated loops are legal
+            }
+          }
+        case Some(VariantDef(n, options)) =>
+          val ok = options.exists(o => o.tpe match {
+            case None => true
+            case Some(TypeRef(dep)) => finitePathExists(dep)
+            case Some(_) => true // primitive-typed option
+          })
+          ok || infinite(s"variant '$n' is an infinite type (each option forms a loop)")
+        case Some(ListDef(n, elem, _)) =>
+          elem match {
+            case TypeRef(dep) =>
+              finitePathExists(dep) || infinite(s"list '$n' forms a loop")
+            case _ => true
+          }
+        case Some(AliasDef(_, target, _)) =>
+          target match {
+            case TypeRef(dep) => finitePathExists(dep)
+            case _ => true
+          }
+        case _ => true // enum, primitive, or imported-unknown (reported elsewhere)
+      }
+      grey -= name
+      if (res) black += name // infinite: stay white — re-entry may find a finite path
+      res
+    }
+
+    // non-variants first: their tighter loops would otherwise be reported as
+    // variant loops (`piqi.ml:493-498`)
+    val (variants, nonVariants) = s.defs.partition(_.isInstanceOf[VariantDef])
+    (nonVariants ++ variants).foreach { d =>
+      if (!finitePathExists(d.name)) fail(lastErr)
+    }
   }
 }

@@ -31,6 +31,7 @@ object SpecJson {
     o.put("module", spec.module)
     o.put("root", spec.root)
     o.put("strict", spec.strict)
+    o.put("maxDepth", spec.maxDepth)
     val defs = o.putArray("defs")
     spec.defs.foreach(d => defs.add(defNode(d)))
     val rules = o.putArray("rowRules")
@@ -76,6 +77,11 @@ object SpecJson {
     case f: Float => o.put("default", f.toDouble)
     case x: Double => o.put("default", x)
     case s: String => o.put("default", s)
+    // full-domain uint64 defaults (2^63..2^64−1 exceed the JSON-long domain):
+    // serialized as decimal strings; Spec.resolved re-normalizes by field
+    // type after deserialization, so compiled plans are identical
+    case bd: java.math.BigDecimal => o.put("default", bd.toBigInteger.toString)
+    case bi: java.math.BigInteger => o.put("default", bi.toString)
     case other => throw new SpecException(
       s"unsupported default literal type for serialization: ${other.getClass.getName}")
   }
@@ -156,7 +162,8 @@ object SpecJson {
       .flatMap(_.elements().asScala).map(readRule).toSeq,
     imports = Option(n.get("imports")).toSeq
       .flatMap(_.elements().asScala).map(readSpec).toSeq,
-    strict = Option(n.get("strict")).exists(_.asBoolean()))
+    strict = Option(n.get("strict")).exists(_.asBoolean()),
+    maxDepth = Option(n.get("maxDepth")).map(_.asInt()).getOrElse(4))
 
   private def readType(n: JsonNode): PiqiType = n.get("kind").asText() match {
     case "bool" => PBool

@@ -364,6 +364,65 @@ class PipelineSpec extends SparkTestBase {
     assert(SpecJson.fromJson(SpecJson.toJson(spec)) === spec)
   }
 
+  test("PUInt64: full-domain default literals + native decimal array rules (NOTES #7 retired)") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.spec._
+    val max = "18446744073709551615" // 2^64 − 1
+    // a default past Long.MaxValue compiles (string literal flavor)
+    val spec = Spec("u64d", Seq(
+      RecordDef("span", Seq(PField("u", PInt.uint64, Required))),
+      RecordDef("r", Seq(
+        PField("id", PInt.int64, Required),
+        PField("d", PInt.uint64, Optional(Some(max))),
+        PField("spans", TypeRef("span"), Repeated)))), "r")
+    // resolved normalizes the string default to a BigDecimal
+    val dMode = spec.resolved.defs.collect { case RecordDef("r", fs) => fs }.flatten
+      .find(_.name == "d").get.mode
+    assert(dMode === Optional(Some(new java.math.BigDecimal(max))))
+    // out-of-domain / garbage defaults are rejected at schema load
+    intercept[SpecException] {
+      Spec("m", Seq(RecordDef("r", Seq(
+        PField("d", PInt.uint64, Optional(Some("18446744073709551616")))))), "r")
+    }
+    intercept[SpecException] {
+      Spec("m", Seq(RecordDef("r", Seq(
+        PField("d", PInt.uint64, Optional(Some("12abc")))))), "r")
+    }
+    val plan = SpecCompiler.compile(spec)
+    // uint64 rules ride the NATIVE array-rule program now
+    assert(plan.violationCount.toString.toLowerCase.contains("structarrayrule"),
+      s"expected native path, got: ${plan.violationCount.toString.take(200)}")
+    // defaults materialize to the full-domain decimal
+    val df = Convert.fromJson(Seq("""{"id":1,"spans":[{"u":1}]}""").toDF("json"),
+      "json", spec).select("id", "d", "spans")
+    assert(plan.withDefaults(df).select("d").collect()(0).getDecimal(0) ===
+      new java.math.BigDecimal(max))
+    // native count/detail agree with the generic walk across the domain edge
+    val data = Seq(
+      s"""{"id":1,"spans":[{"u":$max}]}""",
+      """{"id":2,"spans":[{"u":18446744073709551616}]}""", // 2^64 → range
+      """{"id":3,"spans":[{"u":-1}]}""",                    // negative → range
+      """{"id":4,"spans":[{},null]}""",                     // missing u + null elem
+      """{"id":5,"spans":[]}""").toDF("json")
+    val parsed = Convert.fromJson(data, "json", spec).select("id", "d", "spans")
+    val rowsEq = parsed.select(col("id"),
+      (plan.violationCount === plan.violationCountGeneric).as("ceq"),
+      (sort_array(plan.violations) === sort_array(plan.violationsGeneric)).as("deq"),
+      plan.violationCount).collect()
+    assert(rowsEq.forall(_.getBoolean(1)), rowsEq.mkString("; "))
+    assert(rowsEq.forall(_.getBoolean(2)), rowsEq.mkString("; "))
+    val byId = rowsEq.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId(1L) === 0L)
+    assert(byId(2L) === 1L)
+    assert(byId(3L) === 1L)
+    assert(byId(4L) === 1L)
+    assert(byId(5L) === 0L)
+    // full-domain default survives the portable blob (canonical-form trip)
+    val back = SpecJson.fromJson(SpecJson.toJson(spec.resolved))
+    assert(SpecJson.toJson(back.resolved) === SpecJson.toJson(spec.resolved))
+  }
+
   test("float32 fields and the uint-as-Long fast flavor (SURVEY §1.2)") {
     val spark0 = spark
     import spark0.implicits._

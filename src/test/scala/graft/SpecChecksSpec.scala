@@ -37,21 +37,109 @@ class SpecChecksSpec extends AnyFunSuite {
     }
   }
 
-  test("S4: required-field cycle rejected (infinite record)") {
-    // infinite_record.piqi analog: record referencing itself via required field
+  // ---- S4/S5: the reference's full infinite-types matrix, ported from
+  // /root/reference/tests/infinite_types/Makefile:20-28 (8 must-fail
+  // fixtures, 2 must-pass). Semantics = check_no_infinite_types
+  // (piqi.ml:360-498): productivity, not reject-all-cycles.
+
+  test("S4a: infinite_record — required self-field rejected") {
     val e = intercept[SpecException] {
       Spec("m", Seq(rec("r", PField("self", TypeRef("r"), Required))), "r")
     }
-    assert(e.getMessage.contains("cycle"))
+    assert(e.getMessage.contains("forms a loop"))
   }
 
-  test("S5: optional/repeated cycles also rejected (documented deviation)") {
-    // the reference allows these (piqi.ml:434-440); Spark schemas cannot be
-    // recursive so our engine rejects all cycles at compile time
-    intercept[SpecException] {
-      Spec("m", Seq(rec("r", PField("kids", TypeRef("r"), Repeated),
-        PField("x", PString))), "r")
+  test("S4b: infinite_record2 — required field through an alias rejected") {
+    val e = intercept[SpecException] {
+      Spec("m", Seq(rec("r", PField("f", TypeRef("a"), Required)),
+        AliasDef("a", TypeRef("r"))), "r")
     }
+    assert(e.getMessage.contains("record 'r'"))
+  }
+
+  test("S4c: infinite_alias — self-alias rejected") {
+    val e = intercept[SpecException] {
+      Spec("m", Seq(AliasDef("a", TypeRef("a")),
+        rec("r", PField("x", PString))), "r")
+    }
+    assert(e.getMessage.contains("alias"))
+  }
+
+  test("S4d: infinite_alias2 — mutual alias loop rejected") {
+    val e = intercept[SpecException] {
+      Spec("m", Seq(AliasDef("a", TypeRef("b")), AliasDef("b", TypeRef("a")),
+        rec("r", PField("x", PString))), "r")
+    }
+    assert(e.getMessage.contains("forms a loop"))
+  }
+
+  test("S4e: infinite_list — list of itself rejected (empty list would terminate, reference still rejects)") {
+    val e = intercept[SpecException] {
+      Spec("m", Seq(ListDef("l", TypeRef("l")),
+        rec("r", PField("x", PString))), "r")
+    }
+    assert(e.getMessage.contains("list 'l' forms a loop"))
+  }
+
+  test("S4f: infinite_list2 — list looping through an alias rejected") {
+    intercept[SpecException] {
+      Spec("m", Seq(ListDef("l", TypeRef("a")), AliasDef("a", TypeRef("l")),
+        rec("r", PField("x", PString))), "r")
+    }
+  }
+
+  test("S4g: infinite_variant — every option loops → rejected") {
+    val e = intercept[SpecException] {
+      Spec("m", Seq(
+        VariantDef("v", Seq(POption("s", Some(TypeRef("v"))),
+          POption("o", Some(TypeRef("a"))))),
+        AliasDef("a", TypeRef("v")),
+        rec("r", PField("x", PString))), "r")
+    }
+    assert(e.getMessage.contains("variant 'v'"))
+  }
+
+  test("S4h: infinite_variant2 — options loop via self and via alias pair → rejected") {
+    intercept[SpecException] {
+      Spec("m", Seq(
+        VariantDef("v", Seq(POption("s", Some(TypeRef("v"))),
+          POption("o", Some(TypeRef("a"))))),
+        AliasDef("a", TypeRef("b")), AliasDef("b", TypeRef("a")),
+        rec("r", PField("x", PString))), "r")
+    }
+  }
+
+  test("S5a: finite.piqi — variant with one escaping option recursing through a list ACCEPTED") {
+    // .variant where [ rec: where-list | uint ]; .list where-list of where
+    Spec("m", Seq(
+      VariantDef("where", Seq(POption("rec", Some(TypeRef("where-list"))),
+        POption("uint", Some(PInt.uint)))),
+      ListDef("where-list", TypeRef("where")),
+      rec("r", PField("w", TypeRef("where"), Optional()))), "r")
+  }
+
+  test("S5b: finite_nested.piqi — mutually recursive variant/records with one finite option ACCEPTED") {
+    // used to trigger an assert in the reference's check (its own comment);
+    // exercises the white-reset backtracking: v is entered via r1/r2/r3
+    // before its own finite option v2 is found
+    Spec("m", Seq(
+      VariantDef("v", Seq(
+        POption("r1", Some(TypeRef("r1"))), POption("r2", Some(TypeRef("r2"))),
+        POption("r3", Some(TypeRef("r3"))), POption("v2", Some(TypeRef("v2"))))),
+      VariantDef("v2", Seq(POption("a"))),
+      rec("r1", PField("f", TypeRef("v"), Required)),
+      rec("r2", PField("f", TypeRef("v"), Required)),
+      rec("r3", PField("v3", TypeRef("v3"), Required),
+        PField("f", TypeRef("v"), Required)),
+      VariantDef("v3", Seq(POption("a"))),
+      rec("r", PField("x", TypeRef("v"), Optional()))), "r")
+  }
+
+  test("S5c: optional/repeated self-cycles ACCEPTED (piqi.ml:434-440)") {
+    Spec("m", Seq(rec("tree", PField("kids", TypeRef("tree"), Repeated),
+      PField("x", PString))), "tree")
+    Spec("m", Seq(rec("node", PField("next", TypeRef("node"), Optional()),
+      PField("x", PString))), "node")
   }
 
   test("unknown type reference rejected (piqi_db.ml:149-153 analog)") {
