@@ -96,8 +96,14 @@ object ValidationRunner {
   def deprecatedUsage(df: DataFrame, plan: graft.compile.ValidationPlan): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val fields = plan.rootRecord.fields.filter(_.deprecated).map(_.name)
-    if (fields.isEmpty) return Seq.empty[(String, Long, Long)]
+    val declared = plan.rootRecord.fields.filter(_.deprecated).map(_.name)
+    // a frame that already projected a deprecated column away (natural
+    // mid-migration state) reports (field, 0, n_docs) instead of throwing
+    // an unresolved-column error
+    val present = df.columns.toSet
+    val fields = declared.filter(present)
+    val absent = declared.filterNot(present)
+    if (declared.isEmpty) return Seq.empty[(String, Long, Long)]
       .toDF("field", "n_present", "n_docs")
     val aggs = count(lit(1)).as("__docs") +:
       // sum over zero rows is SQL NULL — coalesce so an empty bucket
@@ -105,7 +111,9 @@ object ValidationRunner {
       fields.map(f => coalesce(sum(col(f).isNotNull.cast(LongType)), lit(0L))
         .as(s"${f}__present"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    fields.zipWithIndex.map { case (f, i) => (f, row.getLong(i + 1), row.getLong(0)) }
+    val nDocs = row.getLong(0)
+    (fields.zipWithIndex.map { case (f, i) => (f, row.getLong(i + 1), nDocs) } ++
+      absent.map(f => (f, 0L, nDocs)))
       .toDF("field", "n_present", "n_docs")
   }
 

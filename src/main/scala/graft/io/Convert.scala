@@ -190,7 +190,9 @@ object Convert {
     // JSON parsing (enablePartialResults, default on since 3.4): only the
     // failing field is nulled, not the whole record. Only numeric/bool root
     // fields: strings/enums always parse, binary/any have lenient
-    // representations, records/arrays have their own shape checks.
+    // representations, records/arrays have their own shape checks. NESTED
+    // scalar conversion failures are probed in raw space by
+    // [[JsonShape.checkKeys]] (every level below the root).
     val rawMap = from_json(col(jsonCol), MapType(StringType, StringType))
     val convVios: Seq[Column] = rootFields(spec).flatMap { f =>
       JsonShape.unalias(f.tpe, rs) match {
@@ -249,7 +251,10 @@ object Convert {
       val parseVio = SpecCompiler.vio(
         col(anyCol).isNotNull && json_object_keys(col(anyCol)).isNull,
         "parse:json", "$", col(anyCol))
-      val vios = concat(parseVio, JsonShape.checkKeys(col(anyCol), spec),
+      // rootScalars: validateAny has no parsed-vs-raw root probe like
+      // fromJson's, so the raw-space scalar probe covers root members too
+      val vios = concat(parseVio,
+        JsonShape.checkKeys(col(anyCol), spec, rootScalars = true),
         plan.violationsFor(rec))
       (col(typeCol) === name, vios)
     }
@@ -293,7 +298,12 @@ object Convert {
     // Non-strict tolerates unknown elements, mirroring the JSON unknown-key
     // semantics (warning-level in the reference). Comments and CDATA are
     // stripped first so "<word" inside them cannot false-positive; "</",
-    // "<?" never match the name charset.
+    // "<?" never match the name charset. The document's ACTUAL root element
+    // (the first extracted name) is always legal — `from_xml` parses any
+    // root tag, so a wrapper differing from the `rootTag` parameter is not
+    // an unknown element. Namespace-prefixed elements (`<ns:tag>`) compare
+    // by LOCAL name (prefix stripped) — piqi XML has no namespaces
+    // (doc/encodings.md), so a prefix carries no spec meaning here.
     val elemVio =
       if (!spec.resolved.strict) SpecCompiler.emptyVio
       else {
@@ -301,8 +311,10 @@ object Convert {
         val scannable = regexp_replace(col(xmlCol),
           lit("(?s)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>"), lit(""))
         val names = array_distinct(regexp_extract_all(
-          scannable, lit("<([A-Za-z_][A-Za-z0-9_.-]*)"), lit(1)))
-        val unknown = filter(names, n => !n.isin(legal: _*))
+          scannable,
+          lit("<(?:[A-Za-z_][A-Za-z0-9_.-]*:)?([A-Za-z_][A-Za-z0-9_.-]*)"), lit(1)))
+        val docRoot = element_at(names, 1)
+        val unknown = filter(names, n => !n.isin(legal: _*) && n =!= docRoot)
         SpecCompiler.vio(col(xmlCol).isNotNull && size(unknown) > 0,
           "unknown-element", "$", concat_ws(",", unknown))
       }

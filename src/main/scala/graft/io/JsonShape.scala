@@ -48,19 +48,30 @@ object JsonShape {
   /** All key-shape violations for a JSON document string against a spec.
     * Finite-but-recursive specs recurse to `spec.maxDepth` occurrences per
     * type (the schema's unroll depth); beyond-depth content is covered by
-    * the compiled plan's `depth:` rule, not key-shape checks. */
-  def checkKeys(jsonCol: Column, spec0: Spec): Column = {
+    * the compiled plan's `depth:` rule, not key-shape checks.
+    *
+    * NESTED scalar conversion failures (a present key whose numeric/bool
+    * raw text cannot parse — PERMISSIVE parsing silently nulls these) are
+    * probed in raw space at every level below the root as `parse:value`;
+    * `rootScalars=true` extends the probe to root-level members (for
+    * callers without [[Convert.fromJson]]'s stronger parsed-vs-raw root
+    * check, e.g. piqi-any validation). Remaining documented narrowing: the
+    * raw map capture strips quotes, so a QUOTED scalar (`"12"` where int is
+    * declared) is indistinguishable from `12` here — at the root the
+    * parsed-column probe still catches it. */
+  def checkKeys(jsonCol: Column, spec0: Spec, rootScalars: Boolean = false): Column = {
     val spec = spec0.resolved
     val root = spec.defTable(spec.root) match {
       case r: RecordDef => r
       case other => throw new SpecException(s"root must be a record, got $other")
     }
-    objectVios(jsonCol, members(root.fields), "$", spec, Map(spec.root -> 1))
+    objectVios(jsonCol, members(root.fields), "$", spec, Map(spec.root -> 1),
+      scalarChecks = rootScalars)
   }
 
   /** Violations for one object level: key checks + recursion into values. */
   private def objectVios(objStr: Column, ms: Seq[Member], path: String,
-      spec: Spec, seen: Map[String, Int]): Column = {
+      spec: Spec, seen: Map[String, Int], scalarChecks: Boolean = true): Column = {
     val keys = json_object_keys(objStr)
     val keysOrEmpty = coalesce(keys, array().cast(strArr))
     val knownKeys = ms.map(_.key)
@@ -79,14 +90,15 @@ object JsonShape {
     val m = from_json(objStr, strMap)
     val subVios: Seq[Column] = ms.sortBy(_.key).map { mem =>
       valueVios(element_at(m, mem.key), mem.tpe, repeated = mem.repeated,
-        s"$path.${mem.name}", spec, seen)
+        s"$path.${mem.name}", spec, seen, scalarChecks)
     }
     SpecCompiler.concatVios(unknownVio +: dupVio +: subVios)
   }
 
   /** Violations for one raw value string of declared type `tpe`. */
   private def valueVios(valStr: Column, tpe: PiqiType, repeated: Boolean,
-      path: String, spec: Spec, seen: Map[String, Int]): Column = {
+      path: String, spec: Spec, seen: Map[String, Int],
+      scalarCheck: Boolean = true): Column = {
     val present = valStr.isNotNull && trim(valStr) =!= "null" // JSON null ≡ missing (B5)
     if (repeated) arrayVios(valStr, present, tpe, path, spec, seen)
     else unalias(tpe, spec) match {
@@ -112,8 +124,40 @@ object JsonShape {
             seen.updated(n, seen.getOrElse(n, 0) + 1))
         case _ => SpecCompiler.emptyVio // enums/aliased scalars: no key shape
       }
-      case _ => SpecCompiler.emptyVio // scalar: value checks are the compiler's job
+      case base =>
+        // numeric/bool scalars: present-but-unparseable raw text is a
+        // conversion failure the PERMISSIVE parser would null silently —
+        // semantic checks on the parsed value stay the compiler's job
+        if (scalarCheck) scalarParseVio(valStr, present, base, path)
+        else SpecCompiler.emptyVio
     }
+  }
+
+  /** Max magnitude representable in the PUInt64 column type Decimal(20,0). */
+  private val Dec20Max = new java.math.BigDecimal("99999999999999999999")
+
+  /** Raw-space parse probe for one scalar value: fires when the raw text
+    * cannot become a non-null value of the declared column type (Long for
+    * ints, Decimal(20,0) for uint64, Double for floats, Boolean).
+    * `try_cast` (not `cast`) throughout: garbage must yield a VIOLATION
+    * row, never an ANSI cast exception. */
+  private def scalarParseVio(raw: Column, present: Column, base: PiqiType,
+      path: String): Column = {
+    val t = trim(raw)
+    val intRe = "^-?[0-9]+$"
+    def dec = t.try_cast(DecimalType(38, 0))
+    val bad: Option[Column] = base match {
+      case PBool => Some(!t.isin("true", "false"))
+      case PInt(_, _) => Some(!t.rlike(intRe) || dec.isNull ||
+        dec < lit(java.math.BigDecimal.valueOf(Long.MinValue)) ||
+        dec > lit(java.math.BigDecimal.valueOf(Long.MaxValue)))
+      case PUInt64 => Some(!t.rlike(intRe) || dec.isNull ||
+        dec > lit(Dec20Max) || dec < lit(Dec20Max.negate))
+      case PFloat | PFloat32 => Some(t.try_cast(DoubleType).isNull)
+      case _ => None // strings/binary/any always capture
+    }
+    bad.map(b => SpecCompiler.vio(present && b, "parse:value", path, raw))
+      .getOrElse(SpecCompiler.emptyVio)
   }
 
   private def recordValueVios(valStr: Column, present: Column, fields: Seq[PField],
@@ -132,14 +176,15 @@ object JsonShape {
     val elems = from_json(valStr, strArr)
     val shape = SpecCompiler.vio(present && elems.isNull,
       "parse:array-expected", path, valStr)
-    // only recurse when elements can themselves have key shape (and the
-    // element type is not at its recursion cutoff)
+    // recurse when elements can have key shape (and the element type is not
+    // at its recursion cutoff), or carry a scalar parse probe
     val needsRecursion = unalias(elemType, spec) match {
       case TypeRef(n) => spec.defTable(n) match {
         case _: RecordDef | _: VariantDef | _: ListDef =>
           seen.getOrElse(n, 0) < spec.maxDepth
         case _ => false
       }
+      case PBool | _: PInt | PUInt64 | PFloat | PFloat32 => true
       case _ => false
     }
     if (!needsRecursion) shape

@@ -42,7 +42,7 @@ object Multimodal {
   /** Deterministic tiny RGB image for id: pixels are a pure function of
     * (id, x, y), so the encoded PNG — and every decoded feature — is stable
     * across runs and partitionings. */
-  private[ops] def makePng(id: Long): (Array[Byte], Int, Int) = {
+  private[graft] def makePng(id: Long): (Array[Byte], Int, Int) = {
     val w = 8 + (id % 16).toInt * 4
     val h = 8 + (id % 12).toInt * 4
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -64,7 +64,7 @@ object Multimodal {
   }
 
   /** Deterministic mono 16-bit 8 kHz PCM WAV for id. */
-  private[ops] def makeWav(id: Long): (Array[Byte], Int) = {
+  private[graft] def makeWav(id: Long): (Array[Byte], Int) = {
     val n = 16 + (id % 32).toInt * 8
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -153,8 +153,68 @@ object Multimodal {
   }
 
   /** PNG/JPEG decode via ImageIO → [w, h, meanR, meanG, meanB, minLum,
-    * maxLum, stdLum, 0…]. */
-  private def imageFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    * maxLum, stdLum, 0…].
+    *
+    * Pixel access is BULK row reads (`Raster.getPixels` into a reusable int
+    * buffer) for the 3-band 8-bit layouts ImageIO actually produces
+    * (TYPE_3BYTE_BGR / TYPE_INT_RGB / TYPE_INT_BGR — band order is always
+    * R,G,B through the Raster API regardless of memory layout): per-pixel
+    * `getRGB` routes every pixel through ColorModel conversion, measured
+    * several× slower and the reason m_features regressed 0.16→0.57 s in r3.
+    * Exotic layouts (palette, gray, alpha) keep the exact `getRGB` path —
+    * both paths consume identical 0-255 ints, so sums are bit-identical.
+    */
+  private[graft] def imageFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) throw new IllegalArgumentException("undecodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var minL = Double.MaxValue; var maxL = Double.MinValue
+    var sumL = 0.0; var sumL2 = 0.0
+    @inline def acc(r: Int, g: Int, b: Int): Unit = {
+      sr += r; sg += g; sb += b
+      val lum = (r + g + b) / 3.0
+      if (lum < minL) minL = lum
+      if (lum > maxL) maxL = lum
+      sumL += lum; sumL2 += lum * lum
+    }
+    val bulk = img.getType match {
+      case BufferedImage.TYPE_3BYTE_BGR | BufferedImage.TYPE_INT_RGB |
+           BufferedImage.TYPE_INT_BGR => img.getRaster.getNumBands == 3
+      case _ => false
+    }
+    if (bulk) {
+      val raster = img.getRaster
+      val row = new Array[Int](w * 3)
+      var y = 0
+      while (y < h) {
+        raster.getPixels(0, y, w, 1, row)
+        var i = 0
+        while (i < w * 3) { acc(row(i), row(i + 1), row(i + 2)); i += 3 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          acc((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val n = (w * h).toDouble
+    val meanL = sumL / n
+    val stdL = math.sqrt(math.max(0.0, sumL2 / n - meanL * meanL))
+    pad(Seq(w.toFloat, h.toFloat, (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+      minL.toFloat, maxL.toFloat, stdL.toFloat), dim)
+  }
+
+  /** getRGB-only reference implementation — equivalence-test twin of the
+    * bulk-raster fast path in [[imageFeatures]]. */
+  private[graft] def imageFeaturesRef(payload: Array[Byte], dim: Int): Array[Float] = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     if (img == null) throw new IllegalArgumentException("undecodable image")
     val (w, h) = (img.getWidth, img.getHeight)
@@ -184,11 +244,22 @@ object Multimodal {
   }
 
   /** WAV decode via AudioSystem → [sampleRate, channels, nSamples, mean,
-    * rms, min, max, zeroCrossings, 0…] (16-bit little-endian PCM). */
+    * rms, min, max, zeroCrossings, 0…]. Non-16-bit-LE-PCM inputs (8-bit,
+    * big-endian, µ-law, …) are transcoded to signed 16-bit little-endian
+    * first — the sample loop would otherwise silently misread them as
+    * 16-bit LE while reporting the real header's rate/channels. Reported
+    * sampleRate/channels stay the ORIGINAL header's; formats the JDK cannot
+    * transcode throw, landing the row in the `ok=false` path. */
   private def audioFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val ais0 = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val fmt = ais0.getFormat
+    val is16le = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+    val ais =
+      if (is16le) ais0
+      else AudioSystem.getAudioInputStream(
+        new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels, true, false), ais0)
     try {
-      val fmt = ais.getFormat
       val bytes = ais.readAllBytes()
       val n = bytes.length / 2
       var sum = 0.0; var sum2 = 0.0

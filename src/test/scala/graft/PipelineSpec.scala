@@ -716,4 +716,131 @@ class PipelineSpec extends SparkTestBase {
     val back = Convert.fromJson(Seq(emitted).toDF("json"), "json", spec)
     assert(back.select("valid").collect()(0).getBoolean(0))
   }
+
+  test("multimodal: bulk-raster image path is bit-identical to the getRGB reference") {
+    // PNG RGB decodes to TYPE_3BYTE_BGR → bulk path; features must equal
+    // the per-pixel getRGB twin exactly (same 0-255 ints, same op order)
+    (0L until 40L).foreach { id =>
+      val (png, _, _) = Multimodal.makePng(id)
+      val fast = Multimodal.imageFeatures(png, 16)
+      val ref = Multimodal.imageFeaturesRef(png, 16)
+      assert(fast.toSeq === ref.toSeq, s"id=$id bulk != getRGB reference")
+    }
+    // gray PNG (no 3-band fast path) → fallback; still equals the reference
+    val gimg = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 7).foreach(y => (0 until 9).foreach(x =>
+      gimg.setRGB(x, y, (x * 31 + y * 7) % 256 * 0x010101)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gimg, "png", bos)
+    assert(Multimodal.imageFeatures(bos.toByteArray, 16).toSeq ===
+      Multimodal.imageFeaturesRef(bos.toByteArray, 16).toSeq)
+  }
+
+  test("multimodal: non-16-bit-LE WAV flavors transcode instead of misreading") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wavBytes(fmt: AudioFormat, pcm: Array[Byte], frames: Long): Array[Byte] = {
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val n = 64
+    val samples = Array.tabulate(n)(i => ((i * 37) % 2000 - 1000).toShort)
+    val le = new Array[Byte](n * 2); val be = new Array[Byte](n * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      le(2 * i) = (s & 0xff).toByte; le(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      be(2 * i) = ((s >> 8) & 0xff).toByte; be(2 * i + 1) = (s & 0xff).toByte
+    }
+    val u8 = Array.tabulate(n)(i => (((samples(i) >> 8) + 128) & 0xff).toByte)
+    val leWav = wavBytes(new AudioFormat(8000f, 16, 1, true, false), le, n.toLong)
+    val beWav = wavBytes(new AudioFormat(8000f, 16, 1, true, true), be, n.toLong)
+    val u8Wav = wavBytes(new AudioFormat(8000f, 8, 1, false, false), u8, n.toLong)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("le", "audio/wav", leWav, null, null, null),
+        org.apache.spark.sql.Row("be", "audio/wav", beWav, null, null, null),
+        org.apache.spark.sql.Row("u8", "audio/wav", u8Wav, null, null, null)), 1),
+      Multimodal.mediaSchema)
+    val rows = Multimodal.extractFeatures(media, dim = 16).collect()
+      .map(r => r.media_ref -> r).toMap
+    assert(rows.values.forall(_.ok), rows.toString)
+    // big-endian carries the SAME samples: features identical to LE after transcode
+    assert(rows("be").features.toSeq === rows("le").features.toSeq)
+    // 8-bit unsigned transcodes (samples scale to the upper byte): header
+    // rate/channels reported, sample count preserved, not misread as 16-bit
+    assert(rows("u8").features(0) === 8000f)
+    assert(rows("u8").features(1) === 1f)
+    assert(rows("u8").features(2) === n.toFloat)
+  }
+
+  test("deprecatedUsage: a projected-away deprecated column reports 0, not an error") {
+    import graft.spec._
+    val spark0 = spark
+    import spark0.implicits._
+    val spec = Spec("dep", Seq(RecordDef("r", Seq(
+      PField("id", PInt.int64, Required),
+      PField("old_a", PString, Optional(), deprecated = true),
+      PField("old_b", PString, Optional(), deprecated = true)))), "r")
+    val plan = graft.compile.SpecCompiler.compile(spec)
+    val df = Seq((1L, "x"), (2L, null)).toDF("id", "old_a") // old_b projected away
+    val rep = graft.exec.ValidationRunner.deprecatedUsage(df, plan)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep("old_a") === ((1L, 2L)))
+    assert(rep("old_b") === ((0L, 2L)))
+  }
+
+  test("XML strict scan: foreign root tag and namespace prefixes are not unknown elements") {
+    import graft.spec._
+    val spark0 = spark
+    import spark0.implicits._
+    val spec = Spec("x2", Seq(RecordDef("doc", Seq(
+      PField("a", PString, Optional())))), "doc", strict = true)
+    val rows = Seq(
+      "<record><a>hi</a></record>",        // root differs from rootTag param
+      "<value><ns:a>hi</ns:a></value>",    // prefixed known local name
+      "<record><zzz>1</zzz></record>")     // foreign root + truly unknown child
+    val out = Convert.fromXml(rows.toDF("xml"), "xml", spec)
+      .select(col("_raw"), col("violations.rule")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(!out(rows(0)).contains("unknown-element"), out(rows(0)).toString)
+    assert(!out(rows(1)).contains("unknown-element"), out(rows(1)).toString)
+    assert(out(rows(2)).contains("unknown-element"))
+  }
+
+  test("nested scalar conversion failures surface as parse:value (raw-space probe)") {
+    import graft.spec._
+    val spark0 = spark
+    import spark0.implicits._
+    val spec = Spec("nest", Seq(
+      RecordDef("inner", Seq(
+        PField("deep_val", PInt.int32, Optional()),
+        PField("ratio", PFloat, Optional()),
+        PField("flag", PBool, Optional()))),
+      RecordDef("doc", Seq(
+        PField("id", PInt.int64, Required),
+        PField("nested", TypeRef("inner"), Optional()),
+        PField("nums", PInt.int64, Repeated)))), "doc")
+    val docs = Seq(
+      """{"id":1,"nested":{"deepVal_unused":0,"deep_val":3,"ratio":1.5,"flag":true},"nums":[1,2]}""",
+      """{"id":2,"nested":{"deep_val":"x"}}""",             // garbage nested int
+      """{"id":3,"nested":{"ratio":"abc"}}""",              // garbage nested float
+      """{"id":4,"nested":{"flag":"yes"}}""",               // garbage nested bool
+      """{"id":5,"nums":[1,"a",3]}""",                      // garbage array element
+      """{"id":6,"nested":{"deep_val":99999999999999999999}}""", // past Long
+      """{"id":7,"nested":{"deep_val":null}}""").toDF("json") // null ≡ missing
+    val out = Convert.fromJson(docs, "json", spec)
+      .select(col("id"),
+        expr("transform(violations, v -> concat(v.rule, '@', v.path))").as("v"))
+      .collect().filterNot(_.isNullAt(0)).map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(!out(1L).exists(_.startsWith("parse:value")), out(1L).toString)
+    assert(out(2L).exists(v => v.startsWith("parse:value@") && v.contains("nested.deep_val")),
+      out(2L).toString)
+    assert(out(3L).exists(_.contains("nested.ratio")), out(3L).toString)
+    assert(out(4L).exists(_.contains("nested.flag")), out(4L).toString)
+    assert(out(5L).exists(v => v.startsWith("parse:value@") && v.contains("nums[1]")),
+      out(5L).toString)
+    assert(out(6L).exists(_.contains("nested.deep_val")), out(6L).toString)
+    assert(!out(7L).exists(_.startsWith("parse:value")), out(7L).toString)
+  }
 }
