@@ -180,6 +180,44 @@ object Bench {
       f"eff=$dedupEfficiency%.2f (compute-control eff=$dedupComputeEfficiency%.2f); " +
       f"minhash pairs=${dedupPairs._1} (expected clusters $expectedPairs), simhash pairs=${dedupPairs._2}")
 
+    // ANN volume probe: sign-bit-LSH top-k over a deterministic clustered
+    // embedding corpus (10^5 docs default), alternated at both widths like
+    // the other probes; recall@k vs the exact bounded-heap brute path is
+    // computed ONCE (untimed — the brute crossproduct is the oracle, not
+    // the operator under test).
+    val nAnn = sys.env.getOrElse("SPARK_GRAFT_ANN_DOCS", "100000").toLong
+    val annPath = graft.tools.DedupCorpus.ensureAnn(spark, nAnn)
+    def annAll(width: Int): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (width > 0) width.toString else cpus)
+      try {
+        val base = spark.read.parquet(annPath)
+        val docs = if (width > 0) base.coalesce(width) else base
+        graft.tools.DedupCorpus.AnnProbe.lsh(docs).count(): Unit
+      } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    }
+    val a8 = scala.collection.mutable.ArrayBuffer[Double]()
+    val aFull = scala.collection.mutable.ArrayBuffer[Double]()
+    annAll(8); annAll(0) // warm-up
+    for (_ <- 1 to 3) {
+      a8 += timeIt(annAll(8))
+      aFull += timeIt(annAll(0))
+    }
+    val ann8 = nAnn / a8.min
+    val annFull = nAnn / aFull.min
+    val annEfficiency = (annFull / ann8) / widthRatio
+    val annRecall = {
+      val base = spark.read.parquet(annPath)
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(2))
+      val brute = graft.tools.DedupCorpus.AnnProbe.brute(base)
+        .select("query_id", "rank", "neighbor_id").collect().map(key).toSet
+      val lsh = graft.tools.DedupCorpus.AnnProbe.lsh(base)
+        .select("query_id", "rank", "neighbor_id").collect().map(key).toSet
+      if (brute.isEmpty) 0.0 else lsh.intersect(brute).size.toDouble / brute.size
+    }
+    System.err.println(f"[bench] ann: 8-wide ${ann8}%.0f docs/s, $cpus-wide ${annFull}%.0f docs/s, " +
+      f"eff=$annEfficiency%.2f, recall@${graft.tools.DedupCorpus.AnnProbe.K}=$annRecall%.3f")
+
     // SPARK_GRAFT_SKIP_SWEEP=1 → probes only (cheap window sampling: run
     // until the gen-control efficiency certifies a quiet window, then keep
     // that artifact). The driver's per-round run uses the full sweep.
@@ -209,7 +247,7 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsMed = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":${tFull.min},"validate_docs_per_sec":$thrFull,"validate_docs_per_sec_8wide":$thr8,"scaling_efficiency_8_to_$cpus":$efficiency,"gen_control_docs_per_sec":$genFull,"gen_control_docs_per_sec_8wide":$gen8,"gen_control_scaling_efficiency":$genEfficiency,"dedup_docs":$nDedup,"dedup_docs_per_sec":$dedupFull,"dedup_docs_per_sec_8wide":$dedup8,"dedup_scaling_efficiency":$dedupEfficiency,"dedup_compute_docs_per_sec":$dedupComputeFull,"dedup_compute_docs_per_sec_8wide":$dedupCompute8,"dedup_compute_scaling_efficiency":$dedupComputeEfficiency,"dedup_minhash_pairs":${dedupPairs._1},"dedup_expected_cluster_pairs":$expectedPairs,"dedup_simhash_pairs":${dedupPairs._2},"host_steal_pct":$stealPct,"trials":3,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":${tFull.min},"validate_docs_per_sec":$thrFull,"validate_docs_per_sec_8wide":$thr8,"scaling_efficiency_8_to_$cpus":$efficiency,"gen_control_docs_per_sec":$genFull,"gen_control_docs_per_sec_8wide":$gen8,"gen_control_scaling_efficiency":$genEfficiency,"dedup_docs":$nDedup,"dedup_docs_per_sec":$dedupFull,"dedup_docs_per_sec_8wide":$dedup8,"dedup_scaling_efficiency":$dedupEfficiency,"dedup_compute_docs_per_sec":$dedupComputeFull,"dedup_compute_docs_per_sec_8wide":$dedupCompute8,"dedup_compute_scaling_efficiency":$dedupComputeEfficiency,"dedup_minhash_pairs":${dedupPairs._1},"dedup_expected_cluster_pairs":$expectedPairs,"dedup_simhash_pairs":${dedupPairs._2},"ann_docs":$nAnn,"ann_docs_per_sec":$annFull,"ann_docs_per_sec_8wide":$ann8,"ann_scaling_efficiency":$annEfficiency,"ann_recall":$annRecall,"ann_k":${graft.tools.DedupCorpus.AnnProbe.K},"host_steal_pct":$stealPct,"trials":3,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -274,6 +274,45 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // PRECISION oracle for the approximate minhash path: recall is not
+    // SQL-expressible, but precision is a closed form — sig_sim >= 0.9 over
+    // 32 independent hash slots implies exact 3-shingle-set Jaccard >= 0.5
+    // except w.p. <= exp(-2*32*0.4^2) ~ 3.6e-5 per candidate (Hoeffding on
+    // the slot indicators; sig_sim is the MLE of J). Emits ONE row
+    // (n_below_floor, has_pairs) so the oracle also asserts non-vacuousness.
+    "d_minhash_near_precision" -> ((s, dir) => {
+      val docs = dupCorpus(s, dir)
+      val pairs = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.9)
+      val sh = docs.select(col("doc_id"),
+        array_distinct(graft.ops.Dedup.shingleHashes(col("text"), 3)).as("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jac", graft.ops.Dedup.jaccardWords(col("sh_a"), col("sh_b")))
+        .agg(coalesce(sum((col("jac") < 0.5).cast("long")), lit(0L)).as("n_below_floor"),
+          (count(lit(1)) > 0).cast("long").as("has_pairs"))
+    }),
+
+    // PRECISION oracle for the approximate simhash path: hamming <= 3 over
+    // 64 sign bits concentrates on high token overlap; the token-set
+    // Jaccard floor 0.3 is an order of magnitude below anything hamming<=3
+    // emits on this corpus (observed minimum ~1.0 — near pairs here are
+    // template/dup variants) — the pin catches a precision REGRESSION
+    // (bucket-join emitting unverified pairs), not a theoretical bound.
+    "d_simhash_near_precision" -> ((s, dir) => {
+      val docs = dupCorpus(s, dir)
+      val pairs = graft.ops.Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      val tk = docs.select(col("doc_id"),
+        graft.functions.Text.tokens(col("text")).as("tk"))
+      pairs
+        .join(tk.select(col("doc_id").as("id_a"), col("tk").as("tk_a")), "id_a")
+        .join(tk.select(col("doc_id").as("id_b"), col("tk").as("tk_b")), "id_b")
+        .withColumn("jac", graft.ops.Dedup.jaccardWords(col("tk_a"), col("tk_b")))
+        .agg(coalesce(sum((col("jac") < 0.3).cast("long")), lit(0L)).as("n_below_floor"),
+          (count(lit(1)) > 0).cast("long").as("has_pairs"))
+    }),
+
     // word-set Jaccard similarity pairs (exact; verifiable in SQL)
     "d_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("doc_id") < 25)
@@ -654,6 +693,14 @@ object SparkEntry {
         | FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
         | WHERE list_sort(string_split(a.text, ' ')) = list_sort(string_split(b.text, ' '))
         | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+
+    // precision pins for the approximate near-dup twins: closed-form single
+    // row — zero pairs below the similarity floor, and the pair set is
+    // non-empty (so the assertion is not vacuous)
+    "d_minhash_near_precision" ->
+      "SELECT CAST(0 AS BIGINT) AS n_below_floor, CAST(1 AS BIGINT) AS has_pairs",
+    "d_simhash_near_precision" ->
+      "SELECT CAST(0 AS BIGINT) AS n_below_floor, CAST(1 AS BIGINT) AS has_pairs",
 
     // the bucketed LSH path must reproduce the exact crossJoin result
     "d_embed_neardup_lsh" ->

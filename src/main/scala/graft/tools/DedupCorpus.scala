@@ -100,6 +100,83 @@ object DedupCorpus {
         maxHamming = 3, maxBucket = MaxBucket, numBlocks = SimhashBlocks)
   }
 
+  // ---------- ANN probe corpus (deterministic embeddings) ----------
+
+  val AnnDim = 32
+  val AnnClusters = 1024
+
+  /** Deterministic unit embedding for id: a cluster centroid (id % 1024)
+    * plus small per-id noise — so true nearest neighbors are overwhelmingly
+    * same-cluster docs (~n/1024 of them), giving recall@k a ground truth
+    * with real structure instead of uniform noise. */
+  def embedding(id: Long): Array[Float] = {
+    val out = new Array[Float](AnnDim)
+    val cluster = id % AnnClusters
+    var norm = 0.0
+    var j = 0
+    while (j < AnnDim) {
+      var cx = cluster * 2654435761L + j * 97531L
+      cx ^= cx >>> 16; cx *= 2246822519L; cx ^= cx >>> 13
+      var nx = id * -7046029254386353131L + j * 1013904223L
+      nx ^= nx >>> 17; nx *= -4417276706812531889L; nx ^= nx >>> 11
+      val base = (java.lang.Math.floorMod(cx, 2000L) - 1000L) / 1000.0
+      val noise = (java.lang.Math.floorMod(nx, 2000L) - 1000L) / 1000.0 * 0.15
+      val v = base + noise
+      out(j) = v.toFloat
+      norm += v * v
+      j += 1
+    }
+    val inv = (1.0 / math.sqrt(norm)).toFloat
+    j = 0
+    while (j < AnnDim) { out(j) *= inv; j += 1 }
+    out
+  }
+
+  private val AnnFormulaVersion = 1
+
+  /** Materialize (once) and return the path of the n-doc ANN probe corpus
+    * (doc_id, vec). Same race-safe rename protocol as [[ensure]]. */
+  def ensureAnn(spark: SparkSession, n: Long): String = {
+    import spark.implicits._
+    val path = s"/tmp/graft_ann_corpus_v${AnnFormulaVersion}_$n"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val tmp = s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.range(0, n, 1, 64).as[Long]
+        .map(id => (id, embedding(id)))
+        .toDF("doc_id", "vec")
+        .write.mode("overwrite").parquet(tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+        require(new java.io.File(s"$path/_SUCCESS").exists(),
+          s"ANN corpus materialization race left no usable corpus at $path")
+      }
+    }
+    path
+  }
+
+  /** ANN probe parameterization shared by Bench and any A/B tool. */
+  object AnnProbe {
+    val K = 10
+    val Bits = 6
+    val Probes = 3
+    val QueryStride = 997 // queries = ids ≡ 31 (mod 997): ~n/997 of the corpus
+
+    def queries(docs: DataFrame): DataFrame =
+      docs.where(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(QueryStride)) === 31)
+
+    def lsh(docs: DataFrame): DataFrame =
+      graft.ops.Ann.lshTopK(docs, queries(docs), "doc_id", "vec", "doc_id", "vec",
+        k = K, bits = Bits, probes = Probes)
+
+    def brute(docs: DataFrame): DataFrame =
+      graft.ops.Ann.bruteTopK(docs, queries(docs), "doc_id", "vec", "doc_id", "vec", k = K)
+  }
+
   /** True exact-duplicate pair count outside the degenerate shard. */
   def expectedClusterPairs(n: Long, degen: Long = 20000L): Long = {
     val firstBlock = degen / 100 // degen is a multiple of 100 in probes
