@@ -277,11 +277,13 @@ object Convert {
    * then the full compiled constraint pass.
    *
    * XML has no duplicate-key notion, and nested unknown elements are not
-   * enumerable through `from_xml`; a document-level element-NAME scan
-   * (strict mode only) flags any element name outside the spec's legal set
-   * + `rootTag` — covering most of the reference's unknown-XML-element
-   * warning (`piqobj_of_xml.ml:133,184`). A known name in the wrong
-   * position is still not detectable (remaining documented deviation).
+   * enumerable through `from_xml`; strict mode instead runs two
+   * document-level scans covering the reference's unknown-XML-element
+   * warning (`piqobj_of_xml.ml:133,184`) in full:
+   *  - an element-NAME scan flags names outside the spec's legal set;
+   *  - an XPath occurrence-count check ([[wrongPositionVio]]) flags KNOWN
+   *    names appearing outside their spec-declared positions (the r3
+   *    name-scan deviation, closed).
    */
   def fromXml(xmlDf: DataFrame, xmlCol: String, spec: Spec,
       rootTag: String = "value"): DataFrame = {
@@ -318,13 +320,104 @@ object Convert {
         SpecCompiler.vio(col(xmlCol).isNotNull && size(unknown) > 0,
           "unknown-element", "$", concat_ws(",", unknown))
       }
+    // positional check for known names (strict): guarded on a clean parse —
+    // xpath throws on malformed XML, which parse:xml already reports
+    val posVio =
+      if (!spec.resolved.strict) SpecCompiler.emptyVio
+      else wrongPositionVio(col(xmlCol), spec,
+        col(xmlCol).isNotNull && col("_rec._corrupt_record").isNull)
     val flat = parsed.select(
       (schema.fields.map(f => col(s"_rec.${f.name}").as(f.name)) :+
-        col(xmlCol).as("_raw") :+ parseVio.as("_pv") :+ elemVio.as("_ev")): _*)
+        col(xmlCol).as("_raw") :+ parseVio.as("_pv") :+ elemVio.as("_ev") :+
+        posVio.as("_wv")): _*)
     flat
-      .withColumn("violations", concat(col("_pv"), col("_ev"), plan.violations))
+      .withColumn("violations", concat(col("_pv"), col("_ev"), col("_wv"), plan.violations))
       .withColumn("valid", size(col("violations")) === 0)
-      .drop("_pv", "_ev")
+      .drop("_pv", "_ev", "_wv")
+  }
+
+  /**
+   * Absolute legal XPath positions per element name, from walking the spec
+   * root to `maxDepth` (root element = any tag, the XPath any-name step):
+   * field elements
+   * at `parent/name`, variant option elements at `parent/option`, repeated
+   * fields at the same path (XML repeats the element), with an extra
+   * `path/item` step allowed wherever an array renders through the
+   * `item` wrapper tag. Returns (name → legal paths, wildcard prefixes) —
+   * a wildcard prefix marks a recursion cutoff under which ANY position is
+   * legal (the depth: rule governs content there).
+   */
+  private def legalElementPaths(spec: Spec): (Map[String, Seq[String]], Seq[String]) = {
+    val s = spec.resolved
+    val acc = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+    val wildcards = scala.collection.mutable.ArrayBuffer[String]()
+    def add(n: String, p: String): Unit = acc(n) = acc.getOrElse(n, Vector.empty) :+ p
+    def walkType(t: PiqiType, path: String, seen: Map[String, Int]): Unit = t match {
+      case TypeRef(n) => s.defTable(n) match {
+        case RecordDef(_, fs) =>
+          if (seen.getOrElse(n, 0) >= s.maxDepth) wildcards += path
+          else {
+            val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+            fs.foreach(f => walkField(f, path, s2))
+          }
+        case VariantDef(_, os) =>
+          if (seen.getOrElse(n, 0) >= s.maxDepth) wildcards += path
+          else {
+            val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+            os.foreach { o =>
+              add(o.name, s"$path/${o.name}")
+              o.tpe.foreach(walkType(_, s"$path/${o.name}", s2))
+            }
+          }
+        case ListDef(_, e, _) =>
+          if (seen.getOrElse(n, 0) >= s.maxDepth) wildcards += path
+          else {
+            val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+            add("item", s"$path/item")
+            walkType(e, path, s2)
+            walkType(e, s"$path/item", s2)
+          }
+        case AliasDef(_, target, _) => walkType(target, path, seen)
+        case _ => () // enum → text content, no child elements
+      }
+      case _ => ()
+    }
+    def walkField(f: PField, parent: String, seen: Map[String, Int]): Unit = {
+      val p = s"$parent/${f.name}"
+      add(f.name, p)
+      if (f.mode == Repeated) { add("item", s"$p/item"); walkType(f.tpe, s"$p/item", seen) }
+      walkType(f.tpe, p, seen)
+    }
+    s.defTable(s.root) match {
+      case RecordDef(_, fields) =>
+        fields.foreach(f => walkField(f, "/*", Map(s.root -> 1)))
+      case _ => ()
+    }
+    (acc.toMap.view.mapValues(_.distinct.toSeq).toMap, wildcards.distinct.toSeq)
+  }
+
+  /**
+   * Wrong-position detection for KNOWN element names (the r3 documented
+   * deviation, now closed): for each known name `n`, the document's total
+   * `//n` occurrence count must not exceed its count at spec-legal
+   * positions (one XPath union expression per name) — a known element
+   * nested where the spec doesn't declare it makes the total exceed the
+   * legal count, reproducing the reference's per-record-level
+   * unknown-field detection (`piqobj_of_xml.ml:133,184` fires for ANY
+   * undeclared element at a level, known-elsewhere or not). Strict-mode
+   * only (2 XPath parses per name per doc); `guard` must exclude malformed
+   * docs — Spark's xpath THROWS on unparseable XML.
+   */
+  private def wrongPositionVio(xmlCol: Column, spec: Spec, guard: Column): Column = {
+    val (paths, wildcards) = legalElementPaths(spec)
+    val checks: Seq[Column] = paths.toSeq.sortBy(_._1).map { case (n, ps) =>
+      val legalPaths = ps ++ wildcards.map(w => s"$w//$n")
+      val legal = size(call_function("xpath", xmlCol, lit(legalPaths.mkString(" | "))))
+      val total = size(call_function("xpath", xmlCol, lit(s"//$n")))
+      when(total > legal, lit(n))
+    }
+    val bad = when(guard, concat_ws(",", checks: _*)).otherwise(lit(""))
+    SpecCompiler.vio(guard && bad =!= "", "wrong-position-element", "$", bad)
   }
 
   /** Every element name a document of this spec may legally contain: field

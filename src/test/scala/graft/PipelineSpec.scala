@@ -808,6 +808,36 @@ class PipelineSpec extends SparkTestBase {
     assert(out(rows(2)).contains("unknown-element"))
   }
 
+  test("XML strict scan: known element in a WRONG POSITION is flagged (xpath count check)") {
+    import graft.spec._
+    val spark0 = spark
+    import spark0.implicits._
+    val spec = Spec("x3", Seq(
+      RecordDef("inner", Seq(PField("b", PInt.int64, Optional()))),
+      RecordDef("doc", Seq(
+        PField("a", PString, Optional()),
+        PField("nested", TypeRef("inner"), Optional()),
+        PField("tags", PString, Repeated)))), "doc", strict = true)
+    val rows = Seq(
+      "<value><a>hi</a><nested><b>1</b></nested></value>",  // everything in place
+      "<value><b>1</b></value>",                            // b belongs under nested
+      "<value><a>hi</a><nested><a>dup</a></nested></value>",// a nested where only root declares it
+      "<value><tags>x</tags><tags>y</tags></value>",        // repeated in place
+      "<value><nested><b>1</b><b>2</b></nested></value>",   // repeated b in place (count-safe)
+      "not xml")                                            // malformed: xpath must not throw
+    val out = Convert.fromXml(rows.toDF("xml"), "xml", spec)
+      .select(col("_raw"), col("violations.rule"), col("violations.detail")).collect()
+      .map(r => r.getString(0) -> ((r.getSeq[String](1), r.getSeq[String](2)))).toMap
+    assert(!out(rows(0))._1.contains("wrong-position-element"), out(rows(0)).toString)
+    assert(out(rows(1))._1.contains("wrong-position-element"))
+    assert(out(rows(1))._2.exists(_.contains("b")))
+    assert(out(rows(2))._1.contains("wrong-position-element"))
+    assert(!out(rows(3))._1.contains("wrong-position-element"), out(rows(3)).toString)
+    assert(!out(rows(4))._1.contains("wrong-position-element"), out(rows(4)).toString)
+    assert(out(rows(5))._1.contains("parse:xml"))
+    assert(!out(rows(5))._1.contains("wrong-position-element"))
+  }
+
   test("nested scalar conversion failures surface as parse:value (raw-space probe)") {
     import graft.spec._
     val spark0 = spark
