@@ -366,6 +366,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ORACLED recall pin for the approximate ANN path: neighbor-set recall
+    // of lshTopK vs the exact bounded-heap brute top-k on the same
+    // queries must clear a fixed floor — single closed-form row.
+    "s_ann_lsh_recall" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "embeddings")
+      val queries = docs.where(col("vec_id") < 5)
+      val lsh = graft.ops.Ann.lshTopK(docs, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, bits = 4, probes = 3)
+        .select("query_id", "neighbor_id")
+      val brute = graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id")
+      val total = brute.count()
+      val matched = lsh.join(brute, Seq("query_id", "neighbor_id")).count()
+      val recall = if (total == 0) 0.0 else matched.toDouble / total
+      Seq(((if (recall >= 0.8) 1L else 0L), (if (total > 0) 1L else 0L)))
+        .toDF("recall_floor_met", "has_rows")
+    }),
+
     // token counting (SQL-verifiable)
     "t_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -397,6 +417,16 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // ORACLED property pin for the fingerprint: deterministic per text AND
+    // collision-free on this corpus ⇔ distinct fingerprint count equals
+    // DuckDB's distinct TEXT count (a 64-bit-hash collision here has
+    // probability ~n²/2^65 — vanishing at verify scale).
+    "t_fingerprint_distinct" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .agg(countDistinct(graft.functions.Text.fingerprint(col("text")))
+          .cast("long").as("n_distinct_fp"))
     }),
 
     // multimodal: REAL PNG (ImageIO) / WAV (AudioSystem) decode + labeled
@@ -435,6 +465,21 @@ object SparkEntry {
       val r = graft.exec.Drift.ksTest(orders, "o_totalprice", "grp", "a", "b")
       Seq((r.group1, r.group2, r.statistic, r.pValue, r.n1, r.n2))
         .toDF("group1", "group2", "statistic", "p_value", "n1", "n2")
+    }),
+
+    // ORACLED accuracy pin for the sketch path: the t-digest KS statistic
+    // must sit within a fixed tolerance of the exact distributed KS on the
+    // same split — converts the approximate twin's "no oracle" into a
+    // closed-form single-row assertion (both legs deterministic).
+    "v_drift_ks_sketch_err" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .withColumn("grp", when(col("o_orderstatus") === "F", "a").otherwise("b"))
+      val sk = graft.exec.Drift.ksTest(orders, "o_totalprice", "grp", "a", "b")
+      val ex = graft.exec.Drift.ksTestExact(orders, "o_totalprice", "grp", "a", "b")
+      Seq(((if (math.abs(sk.statistic - ex.statistic) <= 0.02) 1L else 0L),
+        (if (ex.n1 > 0 && ex.n2 > 0) 1L else 0L)))
+        .toDF("within_tol", "has_rows")
     }),
 
     // drift: chi-square homogeneity of lang across source groups.
@@ -701,6 +746,17 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_below_floor, CAST(1 AS BIGINT) AS has_pairs",
     "d_simhash_near_precision" ->
       "SELECT CAST(0 AS BIGINT) AS n_below_floor, CAST(1 AS BIGINT) AS has_pairs",
+
+    // sketch-KS accuracy pin: t-digest statistic within tolerance of exact
+    "v_drift_ks_sketch_err" ->
+      "SELECT CAST(1 AS BIGINT) AS within_tol, CAST(1 AS BIGINT) AS has_rows",
+    // ANN recall pin: approximate neighbor set clears the recall floor
+    "s_ann_lsh_recall" ->
+      "SELECT CAST(1 AS BIGINT) AS recall_floor_met, CAST(1 AS BIGINT) AS has_rows",
+    // fingerprint property pin: distinct fingerprints == DuckDB's distinct
+    // texts (determinism + collision-freedom, cross-engine)
+    "t_fingerprint_distinct" ->
+      "SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_fp FROM documents",
 
     // the bucketed LSH path must reproduce the exact crossJoin result
     "d_embed_neardup_lsh" ->

@@ -157,4 +157,60 @@ class SpecFuzzSpec extends SparkTestBase {
     val res = scCheck(Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("fuzz: recursive specs — all forms agree and depth bounding is exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    // random tree documents of EXACTLY the given nesting depth (every level
+    // present), recursing through both the optional and the repeated edge
+    def doc(d: Int): Gen[String] =
+      if (d <= 1) Gen.choose(0, 100).map(v => s"""{"value":$v}""")
+      else Gen.frequency(
+        2 -> (for {
+          v <- Gen.choose(0, 100); k <- Gen.choose(1, 2)
+          deep <- doc(d - 1) // at least one child reaches full depth
+          rest <- Gen.listOfN(k - 1, Gen.choose(1, d - 1).flatMap(doc))
+        } yield s"""{"value":$v,"kids":[${(deep +: rest).mkString(",")}]}"""),
+        1 -> (for { v <- Gen.choose(0, 100); nx <- doc(d - 1) }
+          yield s"""{"value":$v,"next":$nx}"""))
+    val caseGen = for {
+      maxDepth <- Gen.choose(1, 3)
+      docs <- Gen.listOfN(12,
+        Gen.choose(1, maxDepth + 2).flatMap(d => doc(d).map(j => (d, j))))
+    } yield (maxDepth, docs)
+
+    val prop = Prop.forAll(caseGen) { case (maxDepth, docs) =>
+      val spec = Spec("rf", Seq(RecordDef("tree", Seq(
+        PField("value", PInt(0, 100), Optional()),
+        PField("next", TypeRef("tree"), Optional()),
+        PField("kids", TypeRef("tree"), Repeated)))), "tree", maxDepth = maxDepth)
+      val plan = SpecCompiler.compile(spec)
+      val schema = Convert.sparkSchema(spec)
+      val df = docs.toDF("depth", "json")
+        .withColumn("_rec", from_json(col("json"), schema))
+        .select(Seq(col("depth"), col("json")) ++
+          schema.fields.map(f => col(s"_rec.${f.name}").as(f.name)): _*)
+      val rows = df.select(
+          col("depth"), col("json"),
+          size(plan.violations).as("n_detail"),
+          plan.violationCount,
+          plan.violationCountGeneric.as("n_generic"),
+          (array_sort(plan.violations) === array_sort(plan.violationsGeneric)).as("deq"),
+          exists(plan.violations, v => v.getField("rule").startsWith("depth:")).as("has_depth"))
+        .collect()
+      val bad = rows.filter { r =>
+        val agree = r.getInt(2).toLong == r.getLong(3) && r.getLong(3) == r.getLong(4) &&
+          r.getBoolean(5)
+        val depthOk = r.getBoolean(6) == (r.getInt(0) > maxDepth)
+        !(agree && depthOk)
+      }
+      if (bad.nonEmpty) {
+        System.err.println(s"[fuzz-rec] maxDepth=$maxDepth divergence:")
+        bad.take(3).foreach(r => System.err.println(s"[fuzz-rec]   $r"))
+      }
+      bad.isEmpty
+    }
+    val res = scCheck(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
