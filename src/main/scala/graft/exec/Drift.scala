@@ -173,7 +173,7 @@ object Drift {
   }
 
   /** Regularized lower incomplete gamma P(a,x) (series + continued fraction, NR §6.2). */
-  private def gammaP(a: Double, x: Double): Double = {
+  private[graft] def gammaP(a: Double, x: Double): Double = {
     if (x < 0 || a <= 0) return Double.NaN
     if (x == 0) return 0.0
     if (x < a + 1.0) {

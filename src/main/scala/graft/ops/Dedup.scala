@@ -168,6 +168,18 @@ object Dedup {
    *    `bands`·sig·n shuffle is petabytes but candidates are merely
    *    billions.
    */
+  /** One LSH band key per band: xxhash64 over (band index, the band's
+    * signature slots) — band index hashed INTO the key so one long keys
+    * the whole table set. Shared by the batch pipeline and the streaming
+    * near-dup operator ([[graft.streaming.ValidateStream.nearDupPairs]]). */
+  private[graft] def bandKeyCols(sig: Column, numHashes: Int, bands: Int): Seq[Column] = {
+    val rowsPerBand = numHashes / bands
+    (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }
+  }
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
       threshold: Double = 0.7, maxBucket: Int = 100000,
@@ -188,10 +200,7 @@ object Dedup {
     // separate pass, no cached table to re-read). Band indices are
     // literals, so each slot is an O(1) element_at on the materialized sig
     // column.
-    val bandKeys = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (0 until rowsPerBand)
-        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-    }
+    val bandKeys = bandKeyCols(col("sig"), numHashes, bands)
     if (carrySig) {
       val banded = withSig.select(col("id"), col("sig"),
         explode(array(bandKeys: _*)).as("bucket"))

@@ -78,6 +78,94 @@ object ValidateStream {
       }
   }
 
+  /** One (bucket, id, sig) row per LSH band of one streamed document. */
+  final case class BandedDoc(bucket: Long, id: Long, sig: Array[Int])
+  /** A detected near-duplicate: `id_b` arrived while `id_a` (or an earlier
+    * batch-mate) was already in the bucket's state; ids ordered. */
+  final case class NearDupHit(id_a: Long, id_b: Long, sig_sim: Double)
+  /** Per-bucket keyed state: the signatures seen in this bucket (bounded). */
+  final case class BucketState(ids: List[Long], sigs: List[Array[Int]])
+
+  /**
+   * STREAMING near-dup detection — MinHash+LSH against keyed bucket state:
+   * the continuous form of [[graft.ops.Dedup.minhashNearDups]] for "is this
+   * incoming document a near-duplicate of anything already ingested?".
+   *
+   * Same codegen'd signature + band-key projection as the batch pipeline
+   * (one stateless stage), then `flatMapGroupsWithState` keyed by band
+   * bucket: each arrival is signature-verified against the bucket's stored
+   * members (the per-bucket quadratic is bounded by `maxBucket`, exactly
+   * like the batch cap) and emitted as a [[NearDupHit]] when the agreeing
+   * fraction clears `threshold`; then it joins the state. In-batch pairs
+   * are caught too (members verify against earlier batch-mates).
+   *
+   * Notes for scale/semantics:
+   *  - a pair colliding in several bands emits one hit PER band bucket —
+   *    deduplicate downstream (`dropDuplicates` on (id_a, id_b) with a
+   *    watermark, or in the sink);
+   *  - state is (maxBucket × sig) bytes per active bucket; `stateTtl`
+   *    bounds the horizon like [[dedupFirstSeen]] (None = exact, unbounded);
+   *  - buckets partition across executors by key hash — the same shuffle
+   *    key the batch groupBy uses.
+   */
+  def nearDupPairs(stream: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      threshold: Double = 0.7, maxBucket: Int = 1000,
+      stateTtl: Option[java.time.Duration] = None): org.apache.spark.sql.Dataset[NearDupHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    import org.apache.spark.sql.types.LongType
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val withSig = stream
+      .select(col(idCol).cast(LongType).as("id"),
+        graft.functions.HashExpressions.minhashSignatureNative(
+          graft.ops.Dedup.shingleHashes(col(textCol), shingleSize), numHashes).as("sig"))
+    val banded = withSig
+      .select(explode(array(
+          graft.ops.Dedup.bandKeyCols(col("sig"), numHashes, bands): _*)).as("bucket"),
+        col("id"), col("sig"))
+      .as[BandedDoc]
+    // no TTL → NoTimeout: skips the extra timeout-processing micro-batch
+    // entirely (with AvailableNow that batch plans after the data is
+    // exhausted and serves nothing here)
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OM.Append(), timeoutConf) {
+        (_: Long, rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+            val hits = scala.collection.mutable.ArrayBuffer[NearDupHit]()
+            rows.foreach { d =>
+              if (!st.ids.contains(d.id)) {
+                var ids = st.ids; var sigs = st.sigs
+                while (ids.nonEmpty) {
+                  val oid = ids.head; val osig = sigs.head
+                  var eq = 0; var i = 0
+                  while (i < numHashes) { if (osig(i) == d.sig(i)) eq += 1; i += 1 }
+                  val sim = eq.toDouble / numHashes
+                  if (sim >= threshold)
+                    hits += NearDupHit(math.min(oid, d.id), math.max(oid, d.id), sim)
+                  ids = ids.tail; sigs = sigs.tail
+                }
+                if (st.ids.size < maxBucket)
+                  st = BucketState(d.id :: st.ids, d.sig :: st.sigs)
+              }
+            }
+            state.update(st)
+            stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
+            hits.iterator
+          }
+      }
+  }
+
   /** Violation-row stream writer (append mode, exactly-once via checkpointLocation). */
   def writeViolations(validated: DataFrame, docKey: String, outPath: String,
       checkpointPath: String): DataStreamWriter[Row] =

@@ -618,6 +618,55 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() === 100)
   }
 
+  test("streaming: near-dup detection against keyed bucket state (cross-batch)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-neardup-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-neardup-ck").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    // nonlinear (i, j) mix — linear token formulas make "distinct" docs
+    // overlap heavily (the DedupCorpus r3 lesson)
+    def base(i: Int) = (0 until 30).map { j =>
+      var x = i.toLong * 2654435761L + j * 1013904223L
+      x ^= x >>> 16; x *= 2246822519L; x ^= x >>> 13
+      s"tok${java.lang.Math.floorMod(x, 100000L)}"
+    }.mkString(" ")
+    // batch 1: 20 distinct docs
+    (0 until 20).map(i => (i.toLong, base(i))).toDF("id", "text")
+      .write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val hits = graft.streaming.ValidateStream.nearDupPairs(
+        stream, "id", "text", numHashes = 32, bands = 8, threshold = 0.9)
+      val q = hits.toDF.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() === 0, "distinct docs must not pair")
+    // batch 2: an exact copy of doc 3 (new id 103) and a fresh doc 21 —
+    // the copy must pair with doc 3 ACROSS batches via restored state
+    Seq((103L, base(3)), (21L, base(21))).toDF("id", "text")
+      .write.mode("append").parquet(dir)
+    runOnce()
+    val pairs = spark.read.parquet(outDir)
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((3L, 103L)), s"got $pairs")
+    // batch 3: in-batch pair (two copies of a new doc) detected within one batch
+    Seq((200L, base(50)), (201L, base(50))).toDF("id", "text")
+      .write.mode("append").parquet(dir)
+    runOnce()
+    val pairs3 = spark.read.parquet(outDir)
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs3 === Set((3L, 103L), (200L, 201L)), s"got $pairs3")
+  }
+
   test("streaming: violation rows written exactly-once via checkpointed file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vstream-in").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft-vstream-out").toString
