@@ -91,4 +91,32 @@ class PlanGuardSpec extends SparkTestBase {
     val hashAggs = "HashAggregate".r.findAllIn(p).size
     assert(hashAggs >= 2, s"expected partial+final aggregate:\n$p")
   }
+
+  test("ANN plans: queries broadcast, docs never shuffle by score; lsh joins on cells") {
+    val docs = spark.range(0, 2000, 1, 4).select(col("id"),
+      array(col("id").cast("double"), (col("id") % 7).cast("double"), lit(1.0)).as("v"))
+    val queries = docs.where(col("id") < 3)
+    // brute: the doc side must stream through a BROADCAST of the query side
+    // (narrow over docs) into ONE partial-aggregable top-k groupBy — the
+    // only exchange carries <= #queries x k x #partitions heap entries
+    val brute = physical(graft.ops.Ann.bruteTopK(docs, queries, "id", "v", "id", "v", k = 5))
+    assert(brute.contains("BroadcastNestedLoopJoin") || brute.contains("BroadcastHashJoin"),
+      s"brute top-k must broadcast the query side:\n${brute.take(3000)}")
+    assert(!brute.contains("SortMergeJoin"), "doc side must never sort-merge on scores")
+    // lsh: equi-join on (probe, cell) with the query side broadcast — a
+    // cell-key hash join, never a nested loop over all docs
+    val lsh = physical(graft.ops.Ann.lshTopK(docs, queries, "id", "v", "id", "v",
+      k = 5, bits = 4, probes = 2))
+    assert(lsh.contains("BroadcastHashJoin"),
+      s"lsh must hash-join on cell keys with broadcast queries:\n${lsh.take(3000)}")
+    assert(!lsh.contains("CartesianProduct") && !lsh.contains("BroadcastNestedLoopJoin"),
+      s"lsh path must not scan all docs per query:\n${lsh.take(3000)}")
+  }
+
+  test("precision-pin queries stay single-aggregate after their pair joins (no extra exchange)") {
+    val dir = "/root/testdata/sf0.001"
+    val p = physical(SparkEntry.queries("d_minhash_near_precision")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"precision pin went quadratic:\n${p.take(3000)}")
+  }
 }
