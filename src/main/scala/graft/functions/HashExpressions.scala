@@ -342,6 +342,145 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 }
 
 /**
+ * FUSED MinHash signature straight from the token array: exactly
+ * `MinHashSignature(ShingleHashes(tokens, k), numHashes)` — proven by the
+ * min-over-multiset ≡ min-over-set identity (ShingleHashes' array_distinct
+ * step cannot change any per-slot minimum) and property-tested — but in ONE
+ * pass with a k-slot circular buffer of token hashes: no intermediate
+ * shingle ArrayData (n longs per doc), no HashSet dedup (one hash-set
+ * insert per shingle ≈ several XXH64 calls), no second expression
+ * evaluation. This is the signature leg of every minhash near-dup job —
+ * the stage that is 79% CPU of the one-shuffle pipeline's wall time.
+ */
+case class MinHashFromTokens(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  require(k > 0, "shingle size must be positive")
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"MinHashFromTokens requires array<string>, got $other")
+    }
+
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(new Array[Any](numHashes)) // tokens null
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Int.MaxValue)
+    @inline def update(h: Long): Unit = {
+      var s = 0
+      while (s < numHashes) {
+        val x = (XXH64.hashLong(h, seeds(s)) >>> 32).toInt
+        if (x < mins(s)) mins(s) = x
+        s += 1
+      }
+    }
+    if (n < k) { // whole-doc chain hash, ShingleHashes' short-doc form
+      var acc = 17L
+      var j = 0
+      while (j < n) {
+        val th = if (arr.isNullAt(j)) 42L else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+        acc = XXH64.hashLong(th, XXH64.hashLong(acc, 42L))
+        j += 1
+      }
+      update(acc)
+    } else {
+      val buf = new Array[Long](k)
+      var i = 0
+      while (i < n) {
+        buf(i % k) = if (arr.isNullAt(i)) 42L else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        if (i >= k - 1) {
+          var h = 42L
+          var o = 0
+          while (o < k) { h = XXH64.hashLong(buf((i - k + 1 + o) % k), h); o += 1 }
+          update(h)
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashFusedSeeds", seeds, "long[]")
+    val childGen = child.genCode(ctx)
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val o = ctx.freshName("o")
+    val s = ctx.freshName("s")
+    val n = ctx.freshName("n")
+    val h = ctx.freshName("h")
+    val x = ctx.freshName("x")
+    val acc = ctx.freshName("acc")
+    val buf = ctx.freshName("buf")
+    val th = ctx.freshName("th")
+    val mins = ctx.freshName("mins")
+    val result = ctx.freshName("result")
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val code =
+      s"""
+         |${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData $result;
+         |if (${childGen.isNull}) {
+         |  $result = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$numHashes]);
+         |} else {
+         |  int $n = ${childGen.value}.numElements();
+         |  int[] $mins = new int[$numHashes];
+         |  java.util.Arrays.fill($mins, Integer.MAX_VALUE);
+         |  if ($n < $k) {
+         |    long $acc = 17L;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      long $th = ${childGen.value}.isNullAt($j) ? 42L
+         |        : $xxh.hashUTF8String(${childGen.value}.getUTF8String($j), 42L);
+         |      $acc = $xxh.hashLong($th, $xxh.hashLong($acc, 42L));
+         |    }
+         |    for (int $s = 0; $s < $numHashes; $s++) {
+         |      int $x = (int) ($xxh.hashLong($acc, $seedsRef[$s]) >>> 32);
+         |      if ($x < $mins[$s]) $mins[$s] = $x;
+         |    }
+         |  } else {
+         |    long[] $buf = new long[$k];
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $buf[$i % $k] = ${childGen.value}.isNullAt($i) ? 42L
+         |        : $xxh.hashUTF8String(${childGen.value}.getUTF8String($i), 42L);
+         |      if ($i >= ${k - 1}) {
+         |        long $h = 42L;
+         |        for (int $o = 0; $o < $k; $o++) {
+         |          $h = $xxh.hashLong($buf[($i - ${k - 1} + $o) % $k], $h);
+         |        }
+         |        for (int $s = 0; $s < $numHashes; $s++) {
+         |          int $x = (int) ($xxh.hashLong($h, $seedsRef[$s]) >>> 32);
+         |          if ($x < $mins[$s]) $mins[$s] = $x;
+         |        }
+         |      }
+         |    }
+         |  }
+         |  $result = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $result;
+       """.stripMargin
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromTokens =
+    copy(child = newChild)
+}
+
+/**
  * Sign-bit LSH bucket id over an embedding array (random-hyperplane LSH,
  * Charikar STOC'02, hash-generated planes): bit b of the result is the sign
  * of Σ_i x_i · pc(seed,b,i) where pc ∈ {−1,+1} comes from
@@ -525,6 +664,13 @@ object HashExpressions {
     * shingle-hash column. */
   def minhashSignatureNative(shingleHashes: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingleHashes), numHashes))
+
+  /** FUSED codegen'd MinHash signature straight from an `array<string>`
+    * token column — identical output to
+    * `minhashSignatureNative(shingleHashesNative(tokens, k), numHashes)`
+    * in one pass with no intermediate shingle array. */
+  def minhashFromTokensNative(tokens: Column, k: Int, numHashes: Int): Column =
+    GraftBridge.column(MinHashFromTokens(GraftBridge.expression(tokens), k, numHashes))
 
   /** Per-bucket verified MinHash pair generator over an
     * `array<struct<id, sig:array<int>>>` column (use in `select`, alias with

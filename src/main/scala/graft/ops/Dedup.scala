@@ -98,15 +98,16 @@ object Dedup {
    * shingle-hash set; permutation i = top-32-bits of xxhash64(seed=i,
    * shingleHash) — 32-bit minhash values (`array<int>`): per-slot collision
    * probability is Jaccard + O(2^-32), same LSH power at HALF the signature
-   * bytes (the signature table is cached and re-joined 3× downstream).
-   * Computed by the native codegen'd [[graft.functions.MinHashSignature]]
-   * expression (ONE pass over the shingle array; the HOF form below
-   * re-scanned it per slot through interpreted lambdas — 6.5 s for 5,050
-   * docs at 32 slots).
+   * bytes. Computed by the FUSED codegen'd
+   * [[graft.functions.MinHashFromTokens]] expression — tokens → rolling
+   * shingle window → per-slot mins in one pass, no intermediate shingle
+   * array, no dedup set (min over multiset ≡ min over set); output
+   * bit-identical to the two-step
+   * `minhashSignatureNative(shingleHashes(...))` form (property-tested).
    */
   def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int = 3): Column =
-    graft.functions.HashExpressions.minhashSignatureNative(
-      shingleHashes(textCol, shingleSize), numHashes)
+    graft.functions.HashExpressions.minhashFromTokensNative(
+      Text.tokens(textCol), shingleSize, numHashes)
 
   /** Generic HOF form of [[minhashSignature]] — equivalence-test reference. */
   def minhashSignatureHOF(textCol: Column, numHashes: Int, shingleSize: Int = 3): Column =
@@ -185,16 +186,13 @@ object Dedup {
       threshold: Double = 0.7, maxBucket: Int = 100000,
       carrySig: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    // two-step projection: shingle hashes materialize ONCE, then 32 permuted
-    // mins read the same array (CollapseProject keeps the boundary — the
-    // producer is a non-cheap HOF consumed 32×, SPARK-36718 rule)
-    val withSh = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh"))
-      .where(size(col("sh")) > 0)
-    val withSig = withSh.select(col("id"),
-      graft.functions.HashExpressions
-        .minhashSignatureNative(col("sh"), numHashes).as("sig"))
+    // fused tokens→signature expression: one codegen pass, no intermediate
+    // shingle array to materialize or dedup. Null-text docs are dropped
+    // (the old size(sh) > 0 filter's only effect — sh was never empty).
+    val withSig = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
     // band key = xxhash64 over (band, the band's signature slots) — pure
     // long-hash codegen computed in the SAME stage as the signature (no
     // separate pass, no cached table to re-read). Band indices are

@@ -119,8 +119,7 @@ object ValidateStream {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val withSig = stream
       .select(col(idCol).cast(LongType).as("id"),
-        graft.functions.HashExpressions.minhashSignatureNative(
-          graft.ops.Dedup.shingleHashes(col(textCol), shingleSize), numHashes).as("sig"))
+        graft.ops.Dedup.minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
     val banded = withSig
       .select(explode(array(
           graft.ops.Dedup.bandKeyCols(col("sig"), numHashes, bands): _*)).as("bucket"),

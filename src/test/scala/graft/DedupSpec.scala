@@ -165,16 +165,23 @@ class DedupSpec extends SparkTestBase {
     assert(both.where(col("id") === 905L).collect()(0).isNullAt(1))
   }
 
-  test("native MinHashSignature equals HOF signature exactly (incl. empty shingle sets)") {
+  test("fused MinHashFromTokens == two-step native == HOF signature exactly (incl. edges)") {
     val spark0 = spark
     import spark0.implicits._
     val texts = (0 until 200).map(i => (i.toLong, mkText(i))) ++ Seq(
-      (900L, "one two"), (901L, "x"), (902L, ""), (903L, null: String))
+      (900L, "one two"), (901L, "x"), (902L, ""), (903L, null: String),
+      (904L, "a a a a a a"), // duplicate shingles: min over multiset == min over set
+      (905L, "unicode über straße 中文 mixed in text"))
     val df = texts.toDF("id", "text")
-    val both = df.select(col("id"),
-      Dedup.minhashSignature(col("text"), 32).as("native"),
-      Dedup.minhashSignatureHOF(col("text"), 32).as("hof"))
-    assert(both.where(!(col("native") <=> col("hof"))).count() === 0)
+    for (k <- Seq(1, 3, 5)) {
+      val all = df.select(col("id"),
+        Dedup.minhashSignature(col("text"), 32, k).as("fused"),
+        graft.functions.HashExpressions.minhashSignatureNative(
+          Dedup.shingleHashes(col("text"), k), 32).as("twostep"),
+        Dedup.minhashSignatureHOF(col("text"), 32, k).as("hof"))
+      assert(all.where(!(col("fused") <=> col("twostep"))).count() === 0, s"k=$k fused!=twostep")
+      assert(all.where(!(col("fused") <=> col("hof"))).count() === 0, s"k=$k fused!=hof")
+    }
   }
 
   test("native ShingleHashes equals HOF shingle hashes exactly (short/dup/unicode docs)") {
