@@ -160,6 +160,22 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
+    // supplier dimension rollup: the remaining testdata table, exercised
+    // through the same broadcast-dim chain shape as q_join_agg
+    "q_supplier_rollup" -> ((s, dir) => {
+      val supplier = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      supplier
+        .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          // DOUBLE final projection — see q1_agg note (decimal hash-layer issue)
+          sum(col("s_acctbal").cast("decimal(18,4)")).cast("double").as("sum_acctbal"))
+        .orderBy("r_name")
+    }),
+
     // top-k: worst offenders report shape (ORDER BY ... LIMIT k)
     "q_topk" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -629,6 +645,14 @@ object SparkEntry {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         | GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin.replace("\n", " "),
+
+    "q_supplier_rollup" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        | sum(CAST(s_acctbal AS DECIMAL(18,4)))::DOUBLE AS sum_acctbal
+        | FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name ORDER BY r_name""".stripMargin.replace("\n", " "),
 
     "q_topk" ->
       """SELECT c_custkey, c_name, total, n FROM (

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -86,11 +86,101 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * L2-normalize an embedding in ONE pass — the Column composite
+ * `when(norm === 0, a).otherwise(transform(a, _ / norm))` re-evaluates the
+ * captured norm SUBTREE per element inside the interpreted lambda (no
+ * subexpression elimination inside HOFs → O(dim²) dot products per
+ * vector; the same class of pitfall as the shingle element_at bug).
+ * Exact composite semantics (property-tested): null array → null; norm =
+ * sqrt of the null-skipping [[VectorDot]] self-product; zero norm → the
+ * elements cast to double unchanged; null elements stay null.
+ */
+case class VectorNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"VectorNormalize requires array<float|double>, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        sum += x * x
+      }
+      i += 1
+    }
+    val nrm = math.sqrt(sum)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = if (nrm == 0.0) x else x / nrm
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val nrm = ctx.freshName("nrm")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $x = (double) $a.$getter($i);
+         |    $sum += $x * $x;
+         |  }
+         |}
+         |double $nrm = java.lang.Math.sqrt($sum);
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $x = (double) $a.$getter($i);
+         |    $out[$i] = ($nrm == 0.0) ? (Object) $x : (Object) ($x / $nrm);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNormalize =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over `array<float|double>` columns. */
   def dotNative(a: Column, b: Column): Column =
     GraftBridge.column(VectorDot(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd one-pass L2 normalization over `array<float|double>`. */
+  def normalizeNative(a: Column): Column =
+    GraftBridge.column(VectorNormalize(GraftBridge.expression(a)))
 
   /** Codegen'd cosine: dot / (|a| |b|), zero-norm → 0.0. */
   def cosineNative(a: Column, b: Column): Column = {

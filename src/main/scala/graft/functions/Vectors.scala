@@ -33,8 +33,15 @@ object Vectors {
     when(n === 0, lit(0.0)).otherwise(d / n)
   }
 
-  /** L2-normalized copy of the vector (pre-normalize once, then cosine = dot). */
-  def normalize(a: Column): Column = {
+  /** L2-normalized copy of the vector (pre-normalize once, then cosine =
+    * dot) — one-pass codegen'd native expression (see
+    * [[VectorExpressions.normalizeNative]]). */
+  def normalize(a: Column): Column = VectorExpressions.normalizeNative(a)
+
+  /** Composite HOF form of [[normalize]] — equivalence-test reference. The
+    * lambda re-evaluates the captured norm subtree PER ELEMENT (O(dim²)
+    * dots per vector) — never use on a hot path. */
+  def normalizeHOF(a: Column): Column = {
     val n = norm(a)
     when(n === 0, a)
       .otherwise(transform(a, x => x.cast(DoubleType) / n))

@@ -97,4 +97,32 @@ class VectorExprSpec extends SparkTestBase {
     rows.foreach { case (id, (n, h)) => assert(n === h, s"id=$id native=$n hof=$h") }
     assert(rows(2L)._1 === 0L && rows(3L)._1 === 0L && rows(4L)._1 === 0L)
   }
+
+  test("native VectorNormalize equals the HOF composite exactly (floats, doubles, edges)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // real float embeddings
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200).select(col("embedding").as("v"))
+    val cmp = emb.select(
+      graft.functions.Vectors.normalize(col("v")).as("native"),
+      graft.functions.Vectors.normalizeHOF(col("v")).as("hof"))
+    assert(cmp.where(!(col("native") <=> col("hof"))).count() === 0)
+    // double edges: zero vector (unchanged), empty, null array, null element
+    val edge = Seq(
+      (1L, Seq[java.lang.Double](3.0, -4.0)),          // norm 5 → (0.6, -0.8)
+      (2L, Seq[java.lang.Double](0.0, 0.0)),           // zero norm → unchanged
+      (3L, Seq[java.lang.Double]()),
+      (4L, null: Seq[java.lang.Double]),
+      (5L, Seq[java.lang.Double](0.5, null, 1.0))).toDF("id", "v")
+    val cmp2 = edge.select(col("id"),
+      graft.functions.Vectors.normalize(col("v")).as("native"),
+      graft.functions.Vectors.normalizeHOF(col("v")).as("hof"))
+    assert(cmp2.where(!(col("native") <=> col("hof"))).count() === 0,
+      cmp2.collect().mkString("; "))
+    val byId = cmp2.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getSeq[Double](1) === Seq(0.6, -0.8))
+    assert(byId(2L).getSeq[Double](1) === Seq(0.0, 0.0))
+    assert(byId(4L).isNullAt(1))
+  }
 }
