@@ -382,6 +382,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ORACLED recall pin for the IVF path (trained coarse quantizer —
+    // deterministic hash-ordered sampling + Lloyd's, so the result is
+    // stable): recall vs brute must clear the floor, non-vacuously.
+    "s_ann_ivf_recall" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "embeddings")
+      val queries = docs.where(col("vec_id") < 20)
+      val cents = graft.ops.Ann.trainCentroids(docs, "vec_id", "embedding",
+        nCells = 16, sampleN = 500, iters = 5)
+      val ivf = graft.ops.Ann.ivfTopK(docs, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, centroids = cents, nProbe = 4)
+        .select("query_id", "neighbor_id")
+      val brute = graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val total = brute.count()
+      val matched = ivf.join(brute, Seq("query_id", "neighbor_id")).count()
+      val recall = if (total == 0) 0.0 else matched.toDouble / total
+      Seq(((if (recall >= 0.5) 1L else 0L), (if (total > 0) 1L else 0L)))
+        .toDF("recall_floor_met", "has_rows")
+    }),
+
     // ORACLED recall pin for the approximate ANN path: neighbor-set recall
     // of lshTopK vs the exact bounded-heap brute top-k on the same
     // queries must clear a fixed floor — single closed-form row.
@@ -774,8 +796,10 @@ object SparkEntry {
     // sketch-KS accuracy pin: t-digest statistic within tolerance of exact
     "v_drift_ks_sketch_err" ->
       "SELECT CAST(1 AS BIGINT) AS within_tol, CAST(1 AS BIGINT) AS has_rows",
-    // ANN recall pin: approximate neighbor set clears the recall floor
+    // ANN recall pins: approximate neighbor sets clear their recall floors
     "s_ann_lsh_recall" ->
+      "SELECT CAST(1 AS BIGINT) AS recall_floor_met, CAST(1 AS BIGINT) AS has_rows",
+    "s_ann_ivf_recall" ->
       "SELECT CAST(1 AS BIGINT) AS recall_floor_met, CAST(1 AS BIGINT) AS has_rows",
     // fingerprint property pin: distinct fingerprints == DuckDB's distinct
     // texts (determinism + collision-freedom, cross-engine)

@@ -172,11 +172,111 @@ case class VectorNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * The `nProbe` nearest centroids (by L2) for a vector — the IVF coarse
+ * quantizer's assignment step, over a broadcast centroid table carried as
+ * an expression reference object (no join, no plane matrix shuffle). One
+ * tight loop per row; codegen delegates to eval through a reference object
+ * (branchy argmin with a small selection buffer gains nothing from inlined
+ * Java; the stub keeps the surrounding projection inside whole-stage
+ * codegen, same pattern as [[graft.compile.StructArrayRuleDetail]]).
+ *
+ * Null array / null element / empty → all `nProbe` cells −1 (a dedicated
+ * "unassignable" cell; joins on it only match other unassignables).
+ */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+    nProbe: Int) extends UnaryExpression {
+
+  require(nProbe > 0 && nProbe <= centroids.length,
+    "need 0 < nProbe <= centroid count")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"NearestCentroids requires array<float|double>, got $other")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private lazy val unassigned: org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.fill(nProbe)(-1))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    evalFromChildValue(child.eval(input))
+
+  /** Entry point shared by eval and generated code. */
+  def evalFromChildValue(childValue: Any): Any = {
+    if (childValue == null) return unassigned
+    evalWith(childValue.asInstanceOf[ArrayData])
+  }
+
+  private def evalWith(a: ArrayData): Any = {
+    val n = a.numElements()
+    if (n == 0) return unassigned
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return unassigned
+      x(i) = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val dim = math.min(n, if (centroids.isEmpty) 0 else centroids(0).length)
+    val bestIdx = new Array[Int](nProbe)
+    val bestD = Array.fill(nProbe)(Double.MaxValue)
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < dim) { val t = x(j) - ct(j); d += t * t; j += 1 }
+      if (d < bestD(nProbe - 1)) {
+        var p = nProbe - 1
+        while (p > 0 && bestD(p - 1) > d) {
+          bestD(p) = bestD(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
+        }
+        bestD(p) = d; bestIdx(p) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIdx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCentroids", this,
+      classOf[NearestCentroids].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      s"""
+         |${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalFromChildValue(
+         |    ${childGen.isNull} ? null : ${childGen.value});
+       """.stripMargin
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over `array<float|double>` columns. */
   def dotNative(a: Column, b: Column): Column =
     GraftBridge.column(VectorDot(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** The `nProbe` nearest IVF centroids for each vector (array<int>). */
+  def nearestCentroids(a: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    GraftBridge.column(NearestCentroids(GraftBridge.expression(a), centroids, nProbe))
 
   /** Codegen'd one-pass L2 normalization over `array<float|double>`. */
   def normalizeNative(a: Column): Column =

@@ -123,4 +123,113 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id").as("neighbor_id"), col("score"))
   }
+
+  // ---------- IVF (trained coarse quantizer) ----------
+
+  /**
+   * Train an IVF coarse quantizer: deterministic bounded sample to the
+   * driver, Lloyd's k-means locally (cheap: sampleN × nCells × dim × iters
+   * flops on small constants), centroids returned for broadcasting into
+   * [[ivfTopK]]'s assignment expression. Sampling is hash-ordered (xxhash64
+   * of the id), so the result is independent of partitioning and stable
+   * across runs — no RNG. Empty clusters respawn on the farthest sampled
+   * point (standard Lloyd's repair).
+   */
+  def trainCentroids(docs: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      sampleN: Int = 20000, iters: Int = 5): Array[Array[Double]] = {
+    require(nCells > 0 && sampleN >= nCells, "need sampleN >= nCells > 0")
+    val sample = docs
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(sampleN)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .filter(_.nonEmpty)
+    require(sample.nonEmpty, "no non-empty vectors to train on")
+    val dim = sample(0).length
+    // init: the hash-order sample's first nCells vectors (deterministic)
+    val cent = Array.tabulate(math.min(nCells, sample.length))(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cent.length)(new Array[Double](dim))
+      val counts = new Array[Long](cent.length)
+      var si = 0
+      while (si < sample.length) {
+        val v = sample(si)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cent.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - cent(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+        si += 1
+      }
+      var c = 0
+      while (c < cent.length) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cent(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } else {
+          // empty cluster: respawn on the sample point farthest from its
+          // centroid (deterministic repair)
+          var worst = 0; var worstD = -1.0
+          var si2 = 0
+          while (si2 < sample.length) {
+            val v = sample(si2)
+            var bd = Double.MaxValue; var c2 = 0
+            while (c2 < cent.length) {
+              var d = 0.0; var j = 0
+              while (j < dim) { val t = v(j) - cent(c2)(j); d += t * t; j += 1 }
+              if (d < bd) bd = d
+              c2 += 1
+            }
+            if (bd > worstD) { worstD = bd; worst = si2 }
+            si2 += 1
+          }
+          cent(c) = sample(worst).clone()
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cent
+  }
+
+  /**
+   * IVF ANN: docs are assigned to their nearest trained centroid (ONE cell
+   * per doc — unlike LSH's per-probe re-bucketing, the inverted file is a
+   * single partition of the corpus); queries probe their `nProbe` nearest
+   * cells; exact cosine within probed cells; global top-k per query.
+   *
+   * THE CELL COUNT IS THE SCALE DIAL: cells ≈ √n keeps per-cell lists at
+   * √n docs, so a query scans nProbe·√n candidates — the standard IVF
+   * cost model — where the fixed-width LSH variant's cells grow linearly
+   * with n. Assignment is the codegen'd [[graft.functions.NearestCentroids]]
+   * expression over broadcast centroids.
+   */
+  def ivfTopK(docs: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions
+    val d0 = docs.select(col(idCol).cast(LongType).as("doc_id"), col(vecCol).as("dv"))
+    val dCells = d0.withColumn("cell",
+      VectorExpressions.nearestCentroids(col("dv"), centroids, 1)(0))
+    val q0 = queries.select(col(qIdCol).cast(LongType).as("query_id"), col(qVecCol).as("qv"))
+    val qCells = q0.select(col("query_id"), col("qv"),
+      explode(VectorExpressions.nearestCentroids(col("qv"), centroids, nProbe)).as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    dCells.join(broadcast(qCells), Seq("cell"))
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), Vectors.cosine(col("dv"), col("qv")).as("score"))
+      .dropDuplicates("query_id", "doc_id")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id").as("neighbor_id"), col("score"))
+  }
 }

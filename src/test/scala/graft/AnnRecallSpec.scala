@@ -30,6 +30,37 @@ class AnnRecallSpec extends SparkTestBase {
     assert(approx.subsetOf(exact20))
   }
 
+  test("ivfTopK (trained coarse quantizer) recall vs brute >= 0.6; results are true neighbors") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.where(col("vec_id") < 20)
+    val cents = Ann.trainCentroids(e, "vec_id", "embedding", nCells = 16,
+      sampleN = 500, iters = 5)
+    assert(cents.length === 16)
+    // deterministic: training twice gives identical centroids
+    val cents2 = Ann.trainCentroids(e, "vec_id", "embedding", nCells = 16,
+      sampleN = 500, iters = 5)
+    assert(cents.map(_.toSeq).toSeq === cents2.map(_.toSeq).toSeq)
+    val exact = Ann.bruteTopK(e, q, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(e, q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, centroids = cents, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.2f (${ivf.size} returned, ${exact.size} true)")
+    assert(recall >= 0.6, f"recall $recall%.2f")
+    val exact20 = Ann.bruteTopK(e, q, "vec_id", "embedding", "vec_id", "embedding", k = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact20), "IVF returned a non-neighbor")
+    // assignment sanity: every doc lands in a real cell
+    val cells = e.select(graft.functions.VectorExpressions
+        .nearestCentroids(col("embedding"), cents, 1)(0).as("cell"))
+      .agg(min("cell"), max("cell")).collect()(0)
+    assert(cells.getInt(0) >= 0 && cells.getInt(1) < 16)
+  }
+
   test("Convert.sparkSchema derives struct/array/variant/alias/any shapes") {
     val spec = Spec("m", Seq(
       EnumDef("color", Seq("red")),
