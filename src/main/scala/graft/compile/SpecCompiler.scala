@@ -151,10 +151,10 @@ final class ValidationPlan(val spec: Spec) extends Serializable {
   private def rootSeen: Map[String, Int] = Map(spec.root -> 1)
 
   private def atCutoff(n: String, seen: Map[String, Int]): Boolean =
-    seen.getOrElse(n, 0) >= spec.maxDepth
+    spec.atDepthCutoff(n, seen)
 
   private def bump(n: String, seen: Map[String, Int]): Map[String, Int] =
-    seen.updated(n, seen.getOrElse(n, 0) + 1)
+    spec.bumpDepth(n, seen)
 
   /** Beyond-depth presence: the schema types this subtree as raw-capture
     * string ([[graft.io.Convert.jsonSchema]] cutoff), so non-null means a

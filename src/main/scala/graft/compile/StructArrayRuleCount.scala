@@ -98,6 +98,11 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
     rules.collect { case RuleRangeDecimal(f, lo, hi) =>
       f -> ((Decimal(lo), Decimal(hi)))
     }.toMap
+  /** Hoisted (precision, scale) per decimal rule field — the interpreted
+    * path runs per array element, so re-deriving from the schema there
+    * would be per-element work (mirrors Detail's decInfo). */
+  private lazy val decPSCache: Map[String, (Int, Int)] =
+    rules.collect { case RuleRangeDecimal(f, _, _) => f -> decPS(f) }.toMap
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
@@ -135,7 +140,7 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
           case RuleRangeDecimal(f, _, _) =>
             val o = ord(f)
             if (!s.isNullAt(o)) {
-              val (p, sc) = decPS(f)
+              val (p, sc) = decPSCache(f)
               val d = s.getDecimal(o, p, sc)
               val (lo, hi) = decBounds(f)
               if (d.compare(lo) < 0 || d.compare(hi) > 0) cnt += 1

@@ -99,11 +99,15 @@ abstract class VerifiedPairsBase extends Expression with Generator with CodegenF
       Iterator.range(i + 1, m).map(j => test(i, j)).filter(_ ne null)
     }
 
+  /** Ordered pair row; EQUAL ids yield null (degenerate self-pair — two
+    * bucket members carrying the same id value; the replaced r3 join form's
+    * strict `id_a < id_b` predicate excluded these, so the generators must
+    * too). Callers filter null through [[pairIterator]]'s `ne null`. */
   protected final def emit(idI: Any, idJ: Any, score: Any): InternalRow = {
-    if (idOrdering.compare(idI, idJ) <= 0)
-      new GenericInternalRow(Array[Any](idI, idJ, score))
-    else
-      new GenericInternalRow(Array[Any](idJ, idI, score))
+    val c = idOrdering.compare(idI, idJ)
+    if (c == 0) null
+    else if (c < 0) new GenericInternalRow(Array[Any](idI, idJ, score))
+    else new GenericInternalRow(Array[Any](idJ, idI, score))
   }
 }
 

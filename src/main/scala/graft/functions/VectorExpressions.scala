@@ -100,7 +100,7 @@ case class VectorNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
 
-  private def elemIsFloat: Boolean =
+  @transient private lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -115,11 +115,12 @@ case class VectorNormalize(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
+    val isF = elemIsFloat
     var sum = 0.0
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val x = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
         sum += x * x
       }
       i += 1
@@ -129,7 +130,7 @@ case class VectorNormalize(child: Expression) extends UnaryExpression {
     i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val x = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
         out(i) = if (nrm == 0.0) x else x / nrm
       }
       i += 1
@@ -202,7 +203,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
           s"NearestCentroids requires array<float|double>, got $other")
     }
 
-  private def elemIsFloat: Boolean =
+  @transient private lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   private lazy val unassigned: org.apache.spark.sql.catalyst.util.GenericArrayData =
@@ -220,14 +221,17 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   private def evalWith(a: ArrayData): Any = {
     val n = a.numElements()
     if (n == 0) return unassigned
+    // dim mismatch vs the trained quantizer → unassignable, never a silent
+    // prefix-only distance (wrong cells degrade recall invisibly)
+    if (centroids.isEmpty || centroids(0).length != n) return unassigned
+    val isF = elemIsFloat
     val x = new Array[Double](n)
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return unassigned
-      x(i) = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      x(i) = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
       i += 1
     }
-    val dim = math.min(n, if (centroids.isEmpty) 0 else centroids(0).length)
     val bestIdx = new Array[Int](nProbe)
     val bestD = Array.fill(nProbe)(Double.MaxValue)
     var c = 0
@@ -235,7 +239,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
       val ct = centroids(c)
       var d = 0.0
       var j = 0
-      while (j < dim) { val t = x(j) - ct(j); d += t * t; j += 1 }
+      while (j < n) { val t = x(j) - ct(j); d += t * t; j += 1 }
       if (d < bestD(nProbe - 1)) {
         var p = nProbe - 1
         while (p > 0 && bestD(p - 1) > d) {
@@ -245,6 +249,9 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
       }
       c += 1
     }
+    // NaN elements make every distance NaN (no comparison succeeds): the
+    // buffer is untouched — unassignable, not a silent pile-up in cell 0
+    if (bestD(0) == Double.MaxValue) return unassigned
     new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIdx)
   }
 

@@ -43,20 +43,20 @@ object Convert {
       case PAny => StringType // raw JSON capture, parsed lazily (piqobj.ml:267-318 analog)
       case TypeRef(n) => s.defTable(n) match {
         case RecordDef(_, fields) =>
-          if (seen.getOrElse(n, 0) >= s.maxDepth) StringType
-          else StructType(fields.map(structField(_, seen.updated(n, seen.getOrElse(n, 0) + 1))))
+          if (s.atDepthCutoff(n, seen)) StringType
+          else StructType(fields.map(structField(_, s.bumpDepth(n, seen))))
         case VariantDef(_, options) =>
-          if (seen.getOrElse(n, 0) >= s.maxDepth) StringType
+          if (s.atDepthCutoff(n, seen)) StringType
           else {
-            val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+            val s2 = s.bumpDepth(n, seen)
             StructType(options.map(o => StructField(
               if (external) o.jsonKey else o.name,
               o.tpe.map(dataTypeOf(_, s2)).getOrElse(BooleanType), nullable = true)))
           }
         case EnumDef(_, _) => StringType
         case ListDef(_, e, _) =>
-          if (seen.getOrElse(n, 0) >= s.maxDepth) StringType
-          else ArrayType(dataTypeOf(e, seen.updated(n, seen.getOrElse(n, 0) + 1)))
+          if (s.atDepthCutoff(n, seen)) StringType
+          else ArrayType(dataTypeOf(e, s.bumpDepth(n, seen)))
         case AliasDef(_, target, _) => dataTypeOf(target, seen)
       }
     }
@@ -102,14 +102,14 @@ object Convert {
     t match {
       case TypeRef(n) => s.defTable(n) match {
         case _: RecordDef | _: VariantDef | _: ListDef
-            if seen.getOrElse(n, 0) >= s.maxDepth => c
+            if s.atDepthCutoff(n, seen) => c
         case RecordDef(_, fields) =>
-          val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+          val s2 = s.bumpDepth(n, seen)
           val rebuilt = struct(fields.map(f => fieldValue(c, f, s, toExternal, s2)
             .as(if (toExternal) f.jsonKey else f.name)): _*)
           when(c.isNull, lit(null)).otherwise(rebuilt)
         case VariantDef(_, options) =>
-          val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+          val s2 = s.bumpDepth(n, seen)
           val rebuilt = struct(options.map { o =>
             val src = c.getField(if (toExternal) o.name else o.jsonKey)
             o.tpe.map(renameTree(src, _, s, toExternal, s2)).getOrElse(src)
@@ -117,7 +117,7 @@ object Convert {
           }: _*)
           when(c.isNull, lit(null)).otherwise(rebuilt)
         case ListDef(_, elem, _) =>
-          val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+          val s2 = s.bumpDepth(n, seen)
           transform(c, e => renameTree(e, elem, s, toExternal, s2))
         case AliasDef(_, target, _) => renameTree(c, target, s, toExternal, seen)
         case _ => c
@@ -355,24 +355,24 @@ object Convert {
     def walkType(t: PiqiType, path: String, seen: Map[String, Int]): Unit = t match {
       case TypeRef(n) => s.defTable(n) match {
         case RecordDef(_, fs) =>
-          if (seen.getOrElse(n, 0) >= s.maxDepth) wildcards += path
+          if (s.atDepthCutoff(n, seen)) wildcards += path
           else {
-            val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+            val s2 = s.bumpDepth(n, seen)
             fs.foreach(f => walkField(f, path, s2))
           }
         case VariantDef(_, os) =>
-          if (seen.getOrElse(n, 0) >= s.maxDepth) wildcards += path
+          if (s.atDepthCutoff(n, seen)) wildcards += path
           else {
-            val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+            val s2 = s.bumpDepth(n, seen)
             os.foreach { o =>
               add(o.name, s"$path/${o.name}")
               o.tpe.foreach(walkType(_, s"$path/${o.name}", s2))
             }
           }
         case ListDef(_, e, _) =>
-          if (seen.getOrElse(n, 0) >= s.maxDepth) wildcards += path
+          if (s.atDepthCutoff(n, seen)) wildcards += path
           else {
-            val s2 = seen.updated(n, seen.getOrElse(n, 0) + 1)
+            val s2 = s.bumpDepth(n, seen)
             add("item", s"$path/item")
             walkType(e, path, s2)
             walkType(e, s"$path/item", s2)
@@ -411,7 +411,11 @@ object Convert {
   private def wrongPositionVio(xmlCol: Column, spec: Spec, guard: Column): Column = {
     val (paths, wildcards) = legalElementPaths(spec)
     val checks: Seq[Column] = paths.toSeq.sortBy(_._1).map { case (n, ps) =>
-      val legalPaths = ps ++ wildcards.map(w => s"$w//$n")
+      // "/$n" whitelists the DOCUMENT ROOT position: any root tag is legal
+      // (mirrors the name scan's docRoot exemption) — without it a root
+      // tag that happens to equal a known field name (e.g. a field named
+      // "value" under the default rootTag) falsely flags every valid doc
+      val legalPaths = ps ++ wildcards.map(w => s"$w//$n") :+ s"/$n"
       val legal = size(call_function("xpath", xmlCol, lit(legalPaths.mkString(" | "))))
       val total = size(call_function("xpath", xmlCol, lit(s"//$n")))
       when(total > legal, lit(n))

@@ -104,11 +104,11 @@ object JsonShape {
     else unalias(tpe, spec) match {
       case TypeRef(n) => spec.defTable(n) match {
         case _: RecordDef | _: VariantDef | _: ListDef
-            if seen.getOrElse(n, 0) >= spec.maxDepth =>
+            if spec.atDepthCutoff(n, seen) =>
           SpecCompiler.emptyVio // beyond-depth: the plan's depth: rule reports
         case RecordDef(_, fields) =>
           recordValueVios(valStr, present, fields, path, spec,
-            seen.updated(n, seen.getOrElse(n, 0) + 1))
+            spec.bumpDepth(n, seen))
         case VariantDef(_, options) =>
           // variant object: option JSON keys are the only legal keys; recurse
           // into record-typed option payloads
@@ -117,11 +117,11 @@ object JsonShape {
           val shape = SpecCompiler.vio(present && json_object_keys(valStr).isNull,
             "parse:object-expected", path, valStr)
           concat(shape, when(present && json_object_keys(valStr).isNotNull,
-            objectVios(valStr, ms, path, spec, seen.updated(n, seen.getOrElse(n, 0) + 1)))
+            objectVios(valStr, ms, path, spec, spec.bumpDepth(n, seen)))
             .otherwise(SpecCompiler.emptyVio))
         case ListDef(_, elem, _) =>
           arrayVios(valStr, present, elem, path, spec,
-            seen.updated(n, seen.getOrElse(n, 0) + 1))
+            spec.bumpDepth(n, seen))
         case _ => SpecCompiler.emptyVio // enums/aliased scalars: no key shape
       }
       case base =>
@@ -181,7 +181,7 @@ object JsonShape {
     val needsRecursion = unalias(elemType, spec) match {
       case TypeRef(n) => spec.defTable(n) match {
         case _: RecordDef | _: VariantDef | _: ListDef =>
-          seen.getOrElse(n, 0) < spec.maxDepth
+          !spec.atDepthCutoff(n, seen)
         case _ => false
       }
       case PBool | _: PInt | PUInt64 | PFloat | PFloat32 => true

@@ -138,16 +138,26 @@ object Ann {
   def trainCentroids(docs: DataFrame, idCol: String, vecCol: String, nCells: Int,
       sampleN: Int = 20000, iters: Int = 5): Array[Array[Double]] = {
     require(nCells > 0 && sampleN >= nCells, "need sampleN >= nCells > 0")
-    val sample = docs
+    // poisoned rows (null vector, null element, ragged dim) are SKIPPED,
+    // not fatal — one bad embedding must not kill quantizer training
+    val raw = docs
       .select(col(idCol), col(vecCol))
+      .where(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(idCol)))
       .limit(sampleN)
       .select(col(vecCol).cast(ArrayType(DoubleType)))
       .collect()
-      .map(_.getSeq[Double](0).toArray)
-      .filter(_.nonEmpty)
-    require(sample.nonEmpty, "no non-empty vectors to train on")
-    val dim = sample(0).length
+      .flatMap { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val s = r.getSeq[java.lang.Double](0)
+          if (s.isEmpty || s.exists(_ == null)) None
+          else Some(s.map(_.doubleValue).toArray)
+        }
+      }
+    require(raw.nonEmpty, "no usable vectors to train on")
+    val dim = raw(0).length
+    val sample = raw.filter(_.length == dim) // drop ragged outliers
     // init: the hash-order sample's first nCells vectors (deterministic)
     val cent = Array.tabulate(math.min(nCells, sample.length))(i => sample(i).clone())
     var it = 0

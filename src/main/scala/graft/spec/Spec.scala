@@ -145,6 +145,17 @@ final case class Spec(
     maxDepth: Int = 4) {
   require(maxDepth >= 1, "maxDepth must be >= 1")
 
+  /** Depth-unroll helpers — the ONE definition of the recursion cutoff,
+    * shared by every spec-walking traversal (rule walk, schema build,
+    * rename trees, JSON key-shape walk, XML legal paths): the traversals
+    * must stay bit-for-bit consistent or the schema cutoff desynchronizes
+    * from the compiled plan's `depth:` rule (getField on a raw-capture
+    * string column → AnalysisException). */
+  def atDepthCutoff(n: String, seen: Map[String, Int]): Boolean =
+    seen.getOrElse(n, 0) >= maxDepth
+  def bumpDepth(n: String, seen: Map[String, Int]): Map[String, Int] =
+    seen.updated(n, seen.getOrElse(n, 0) + 1)
+
   /** All defs visible to this module: own + imported (qualified). */
   lazy val defTable: Map[String, TypeDef] = {
     val imported = imports.flatMap { m =>

@@ -118,8 +118,13 @@ object ValidateStream {
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
     val withSig = stream
-      .select(col(idCol).cast(LongType).as("id"),
+      // null/uncastable id or null text must not poison the query: a null
+      // signature (or key) fails BandedDoc's non-nullable deserialization
+      // and kills the whole stream — same drop the batch pipeline applies
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).try_cast(LongType).as("id"),
         graft.ops.Dedup.minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+      .where(col("id").isNotNull)
     val banded = withSig
       .select(explode(array(
           graft.ops.Dedup.bandKeyCols(col("sig"), numHashes, bands): _*)).as("bucket"),
