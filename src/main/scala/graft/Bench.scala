@@ -206,31 +206,85 @@ object Bench {
     val ann8 = nAnn / a8.min
     val annFull = nAnn / aFull.min
     val annEfficiency = (annFull / ann8) / widthRatio
-    val annRecall = {
+    // brute oracle once (untimed) — shared by the LSH recall, the IVF
+    // recall, and the nProbe sweep
+    val annBruteSet = {
       val base = spark.read.parquet(annPath)
       val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(2))
-      val brute = graft.tools.DedupCorpus.AnnProbe.brute(base)
+      graft.tools.DedupCorpus.AnnProbe.brute(base)
         .select("query_id", "rank", "neighbor_id").collect().map(key).toSet
-      val lsh = graft.tools.DedupCorpus.AnnProbe.lsh(base)
-        .select("query_id", "rank", "neighbor_id").collect().map(key).toSet
-      if (brute.isEmpty) 0.0 else lsh.intersect(brute).size.toDouble / brute.size
     }
+    def annRecallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(2))
+      val got = df.select("query_id", "rank", "neighbor_id").collect().map(key).toSet
+      if (annBruteSet.isEmpty) 0.0
+      else got.intersect(annBruteSet).size.toDouble / annBruteSet.size
+    }
+    val annRecall = annRecallOf(
+      graft.tools.DedupCorpus.AnnProbe.lsh(spark.read.parquet(annPath)))
     System.err.println(f"[bench] ann: 8-wide ${ann8}%.0f docs/s, $cpus-wide ${annFull}%.0f docs/s, " +
       f"eff=$annEfficiency%.2f, recall@${graft.tools.DedupCorpus.AnnProbe.K}=$annRecall%.3f")
+
+    // IVF at its DESIGN POINT (the r4 verdict ask): nCells = √n, trained
+    // Lloyd's quantizer, same probe corpus and widths. Training is the
+    // one-shot driver step (untimed but reported); the timed leg is the
+    // assignment + cell-join + bounded-heap top-k.
+    val ivfCells = graft.tools.DedupCorpus.AnnProbe.ivfCells(nAnn)
+    var ivfTrainSec = 0.0
+    val ivfCents = {
+      val t0 = System.nanoTime()
+      val c = graft.tools.DedupCorpus.AnnProbe.trainIvf(spark.read.parquet(annPath), nAnn)
+      ivfTrainSec = (System.nanoTime() - t0) / 1e9
+      c
+    }
+    def ivfAll(width: Int): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (width > 0) width.toString else cpus)
+      try {
+        val base = spark.read.parquet(annPath)
+        val docs = if (width > 0) base.coalesce(width) else base
+        graft.tools.DedupCorpus.AnnProbe.ivf(docs, ivfCents).count(): Unit
+      } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    }
+    val i8 = scala.collection.mutable.ArrayBuffer[Double]()
+    val iFull = scala.collection.mutable.ArrayBuffer[Double]()
+    ivfAll(8); ivfAll(0) // warm-up
+    for (_ <- 1 to 3) {
+      i8 += timeIt(ivfAll(8))
+      iFull += timeIt(ivfAll(0))
+    }
+    val ivf8 = nAnn / i8.min
+    val ivfFull = nAnn / iFull.min
+    val ivfEfficiency = (ivfFull / ivf8) / widthRatio
+    // recall at the shipped nProbe + the sweep that shows the dial
+    val ivfSweep = Seq(1, 2, 4, 8, 16).map { p =>
+      p -> annRecallOf(graft.tools.DedupCorpus.AnnProbe.ivf(spark.read.parquet(annPath), ivfCents, p))
+    }
+    val ivfRecall = ivfSweep.toMap.getOrElse(graft.tools.DedupCorpus.AnnProbe.IvfProbes,
+      annRecallOf(graft.tools.DedupCorpus.AnnProbe.ivf(spark.read.parquet(annPath), ivfCents)))
+    System.err.println(f"[bench] ivf: cells=$ivfCells train=${ivfTrainSec}%.1f s, " +
+      f"8-wide ${ivf8}%.0f docs/s, $cpus-wide ${ivfFull}%.0f docs/s, eff=$ivfEfficiency%.2f, " +
+      s"recall sweep ${ivfSweep.map { case (p, r) => f"p$p=$r%.3f" }.mkString(" ")}")
 
     // SPARK_GRAFT_SKIP_SWEEP=1 → probes only (cheap window sampling: run
     // until the gen-control efficiency certifies a quiet window, then keep
     // that artifact). The driver's per-round run uses the full sweep.
     val skipSweep = sys.env.get("SPARK_GRAFT_SKIP_SWEEP").contains("1")
 
+    // st_* queries are streaming-plane correctness pins: their wall time is
+    // micro-batch trigger/checkpoint latency on a 200-doc corpus, not
+    // engine throughput — sweeping them would only add trigger noise to
+    // "total" (they stay in Verify's correctness run).
+    val sweepQueries = SparkEntry.queries.filterNot(_._1.startsWith("st_"))
+
     // warm-up: one full pass (discard)
-    if (!skipSweep) SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    if (!skipSweep) sweepQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val s = try timeIt(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       System.err.println(f"[bench] warmup $name: $s%.2f s")
     }
 
     val results = (if (skipSweep) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
-      else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
+      else sweepQueries).toSeq.sortBy(_._1).map { case (name, fn) =>
       val trials = (1 to 3).map { _ =>
         try timeIt(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       }
@@ -247,7 +301,7 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsMed = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":${tFull.min},"validate_docs_per_sec":$thrFull,"validate_docs_per_sec_8wide":$thr8,"scaling_efficiency_8_to_$cpus":$efficiency,"gen_control_docs_per_sec":$genFull,"gen_control_docs_per_sec_8wide":$gen8,"gen_control_scaling_efficiency":$genEfficiency,"dedup_docs":$nDedup,"dedup_docs_per_sec":$dedupFull,"dedup_docs_per_sec_8wide":$dedup8,"dedup_scaling_efficiency":$dedupEfficiency,"dedup_compute_docs_per_sec":$dedupComputeFull,"dedup_compute_docs_per_sec_8wide":$dedupCompute8,"dedup_compute_scaling_efficiency":$dedupComputeEfficiency,"dedup_minhash_pairs":${dedupPairs._1},"dedup_expected_cluster_pairs":$expectedPairs,"dedup_simhash_pairs":${dedupPairs._2},"ann_docs":$nAnn,"ann_docs_per_sec":$annFull,"ann_docs_per_sec_8wide":$ann8,"ann_scaling_efficiency":$annEfficiency,"ann_recall":$annRecall,"ann_k":${graft.tools.DedupCorpus.AnnProbe.K},"host_steal_pct":$stealPct,"trials":3,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":${tFull.min},"validate_docs_per_sec":$thrFull,"validate_docs_per_sec_8wide":$thr8,"scaling_efficiency_8_to_$cpus":$efficiency,"gen_control_docs_per_sec":$genFull,"gen_control_docs_per_sec_8wide":$gen8,"gen_control_scaling_efficiency":$genEfficiency,"dedup_docs":$nDedup,"dedup_docs_per_sec":$dedupFull,"dedup_docs_per_sec_8wide":$dedup8,"dedup_scaling_efficiency":$dedupEfficiency,"dedup_compute_docs_per_sec":$dedupComputeFull,"dedup_compute_docs_per_sec_8wide":$dedupCompute8,"dedup_compute_scaling_efficiency":$dedupComputeEfficiency,"dedup_minhash_pairs":${dedupPairs._1},"dedup_expected_cluster_pairs":$expectedPairs,"dedup_simhash_pairs":${dedupPairs._2},"ann_docs":$nAnn,"ann_docs_per_sec":$annFull,"ann_docs_per_sec_8wide":$ann8,"ann_scaling_efficiency":$annEfficiency,"ann_recall":$annRecall,"ann_k":${graft.tools.DedupCorpus.AnnProbe.K},"ivf_cells":$ivfCells,"ivf_nprobe":${graft.tools.DedupCorpus.AnnProbe.IvfProbes},"ivf_train_sec":$ivfTrainSec,"ivf_docs_per_sec":$ivfFull,"ivf_docs_per_sec_8wide":$ivf8,"ivf_scaling_efficiency":$ivfEfficiency,"ivf_recall":$ivfRecall,"ivf_nprobe_recall":${ivfSweep.map { case (p, r) => "\"" + p + "\":" + r }.mkString("{", ",", "}")},"host_steal_pct":$stealPct,"trials":3,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -389,10 +389,21 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, dir, "embeddings")
       val queries = docs.where(col("vec_id") < 20)
+      // DESIGN POINT: nCells = √n (per-cell lists ~√n, query work
+      // nProbe·√n), quantizer trained on the actual corpus distribution
+      // (the whole table fits the sample at verify SFs); floor raised
+      // 0.5 → 0.9 per the r4 verdict. This table's vectors are UNIFORM
+      // random (no cluster structure), so IVF recall ∝ probed fraction —
+      // hitting 0.9 honestly needs nProbe ≈ 3/4·nCells here (measured
+      // 0.95 at sf0.01). The clustered 100k bench corpus shows the real
+      // dial: recall ≥0.9 at nProbe=8 ≪ √n cells (BENCH ivf_nprobe_recall).
+      val n = docs.count()
+      val nCells = math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
+      val nProbe = math.max(8, (nCells * 3 + 3) / 4)
       val cents = graft.ops.Ann.trainCentroids(docs, "vec_id", "embedding",
-        nCells = 16, sampleN = 500, iters = 5)
+        nCells = nCells, sampleN = math.max(nCells * 40, 2000), iters = 10)
       val ivf = graft.ops.Ann.ivfTopK(docs, queries, "vec_id", "embedding",
-        "vec_id", "embedding", k = 5, centroids = cents, nProbe = 4)
+        "vec_id", "embedding", k = 5, centroids = cents, nProbe = nProbe)
         .select("query_id", "neighbor_id")
       val brute = graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
         "vec_id", "embedding", k = 5)
@@ -400,7 +411,7 @@ object SparkEntry {
       val total = brute.count()
       val matched = ivf.join(brute, Seq("query_id", "neighbor_id")).count()
       val recall = if (total == 0) 0.0 else matched.toDouble / total
-      Seq(((if (recall >= 0.5) 1L else 0L), (if (total > 0) 1L else 0L)))
+      Seq(((if (recall >= 0.9) 1L else 0L), (if (total > 0) 1L else 0L)))
         .toDF("recall_floor_met", "has_rows")
     }),
 
@@ -467,8 +478,9 @@ object SparkEntry {
           .cast("long").as("n_distinct_fp"))
     }),
 
-    // multimodal: REAL PNG (ImageIO) / WAV (AudioSystem) decode + labeled
-    // video-container stub, over synthetic payloads with null + poison rows.
+    // multimodal: REAL PNG (ImageIO) / WAV (AudioSystem) / MJPEG-AVI
+    // (RIFF walk + per-frame ImageIO JPEG) decode, over synthetic payloads
+    // with null + poison rows.
     // Oracled: mime/ok/count/dims are closed-form in the generator ids
     // (ok ⇔ not null (id%50) and not poison (id%7)); feature VALUES are
     // pinned by PipelineSpec (true pixel dims, PCM stats, determinism).
@@ -544,6 +556,22 @@ object SparkEntry {
       Seq((r.statistic, r.dof.toLong, r.pValue)).toDF("statistic", "dof", "p_value")
     }),
 
+    // ORACLED tolerance pin for the gamma p-value (the ks_sketch_err
+    // pattern): the NR gamma-series p must agree with the INDEPENDENT
+    // Wilson-Hilferty cube-root-normal approximation on the actual corpus
+    // statistic — converts the last rows-only query into a closed-form
+    // single-row assertion (both legs deterministic, disjoint algorithms)
+    "v_drift_chi2_p_pin" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("grp", when(length(col("source")) === 4, lit("a")).otherwise(lit("b")))
+      val r = graft.exec.Drift.chiSquareTest(docs, "lang", "grp")
+      val pWH = graft.exec.Drift.chiSquarePValueWH(r.statistic, r.dof)
+      Seq(((if (math.abs(r.pValue - pWH) <= 0.02) 1L else 0L),
+        (if (r.pValue >= 0.0 && r.pValue <= 1.0) 1L else 0L)))
+        .toDF("within_tol", "p_in_unit_range")
+    }),
+
     // per-group × per-column stats, fully distributed unpivot (SQL-verifiable)
     "v_stats_by_source" -> ((s, dir) => {
       ValidationRunner.columnStatsByGroup(t(s, dir, "documents"), "source",
@@ -573,6 +601,43 @@ object SparkEntry {
         .withColumn("bucket", pmod(substring(col("doc_id"), 5, 12).cast("long"), lit(8)))
       val validated = ValidationRunner.validate(docs, docsPlan)
       ValidationRunner.summary(validated, Seq("bucket")).orderBy("bucket")
+    }),
+
+    // STREAMING-plane correctness (the r4 ask): the keyed-bucket-state
+    // near-dup stream must find EXACTLY the pair set the batch MinHash+LSH
+    // pipeline finds on the same corpus — including pairs whose members
+    // arrive in DIFFERENT micro-batches (checkpoint-restored state). The
+    // two batches split inside the id-100 duplicate cluster so four true
+    // pairs exist only across the batch boundary. Closed-form pin row.
+    "st_neardup_equiv" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-st-equiv").toString
+      val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+      val corpus = graft.tools.DedupCorpus.generate(s, 200, numPartitions = 4, degen = 0L)
+      val schema = corpus.schema
+      // exact-dup clusters at ids {0..3} and {100..103}; split at 102 →
+      // (100,102),(100,103),(101,102),(101,103) are cross-batch-only
+      corpus.where(col("doc_id") < 102).write.mode("append").parquet(in)
+      def drain(): Unit = {
+        val hits = graft.streaming.ValidateStream.nearDupPairs(
+          s.readStream.schema(schema).parquet(in), "doc_id", "text",
+          numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.9)
+        val q = hits.toDF.writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
+      drain()
+      corpus.where(col("doc_id") >= 102).write.mode("append").parquet(in)
+      drain()
+      val streamPairs = s.read.parquet(out).select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchPairs = graft.ops.Dedup.minhashNearDups(corpus, "doc_id", "text",
+          numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.9)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val crossBatch = streamPairs.count { case (a, b) => a < 102 && b >= 102 }
+      Seq(((if (streamPairs == batchPairs && streamPairs.nonEmpty) 1L else 0L),
+        (if (crossBatch >= 4) 1L else 0L))).toDF("sets_equal", "has_cross_batch")
     })
   )
 
@@ -796,6 +861,14 @@ object SparkEntry {
     // sketch-KS accuracy pin: t-digest statistic within tolerance of exact
     "v_drift_ks_sketch_err" ->
       "SELECT CAST(1 AS BIGINT) AS within_tol, CAST(1 AS BIGINT) AS has_rows",
+    // gamma p-value vs the independent Wilson-Hilferty approximation on the
+    // real corpus statistic (DriftSpec pins the grid; this pins the corpus)
+    "v_drift_chi2_p_pin" ->
+      "SELECT CAST(1 AS BIGINT) AS within_tol, CAST(1 AS BIGINT) AS p_in_unit_range",
+    // streaming near-dup == batch near-dup on the two-batch corpus, with
+    // all four cross-batch cluster pairs found through restored state
+    "st_neardup_equiv" ->
+      "SELECT CAST(1 AS BIGINT) AS sets_equal, CAST(1 AS BIGINT) AS has_cross_batch",
     // ANN recall pins: approximate neighbor sets clear their recall floors
     "s_ann_lsh_recall" ->
       "SELECT CAST(1 AS BIGINT) AS recall_floor_met, CAST(1 AS BIGINT) AS has_rows",
@@ -851,7 +924,7 @@ object SparkEntry {
       """SELECT mime, CAST(ok AS BIGINT) AS ok, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CASE WHEN ok THEN 16 ELSE 0 END) AS BIGINT) AS dims
         | FROM (SELECT
-        |   CASE id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |   CASE id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/avi' END AS mime,
         |   (id % 50 <> 0 AND id % 7 <> 0) AS ok
         |  FROM generate_series(0, 1999) AS t(id))
         | GROUP BY mime, ok ORDER BY mime, ok""".stripMargin.replace("\n", " "),

@@ -22,11 +22,17 @@ import graft.functions.TDigest
  * partition overwrite (idempotent on re-run), and the lineage row is
  * appended only AFTER all of the bucket's outputs land — a crash between
  * the two re-processes that bucket (overwriting identical output), never
- * skips or duplicates. This is the parquet-filesystem equivalent of the
- * Iceberg snapshot+lineage single-transaction design in SURVEY.md §2.D
- * (no Iceberg runtime jars ship in this sandbox — documented deviation;
- * swap the per-output writes + lineage append for one Iceberg transaction
- * when running against a real catalog).
+ * skips or duplicates. The lineage append itself is a STAGING COMMIT:
+ * each batch is written as a single parquet file under
+ * `.lineage_staging/<uuid>/`, then published into `lineage/` with one
+ * atomic same-filesystem rename — a crash mid-write leaves only staging
+ * garbage that no reader ever lists, never a half-written file inside
+ * `lineage/` that would poison [[committedBuckets]] on resume. This is
+ * the parquet-filesystem equivalent of the Iceberg snapshot+lineage
+ * single-transaction design in SURVEY.md §2.D (no Iceberg runtime jars
+ * ship in this sandbox — documented deviation; swap the per-output writes
+ * + lineage staging-commit for one Iceberg transaction when running
+ * against a real catalog).
  */
 final class CheckpointManager(root: String) extends Serializable {
   private def lineagePath = s"$root/lineage"
@@ -71,10 +77,7 @@ final class CheckpointManager(root: String) extends Serializable {
             .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outPath(name))
         }
         // commit marker LAST: crash before this line → bucket re-runs idempotently
-        import spark.implicits._
-        group.map(b => (b, System.currentTimeMillis()))
-          .toDF("bucket", "committed_at_ms")
-          .write.mode(SaveMode.Append).parquet(lineagePath)
+        commitLineage(spark, group)
       }
     } finally {
       // session conf is shared state — restore what we found
@@ -83,6 +86,39 @@ final class CheckpointManager(root: String) extends Serializable {
         case None => spark.conf.unset(overwriteModeKey)
       }
     }
+  }
+
+  /**
+   * Staged lineage append: write the batch's rows as ONE parquet file in a
+   * fresh staging dir, then publish it into `lineage/` with a single
+   * atomic rename. Readers list only `lineage/`, so a crash at any point
+   * here leaves either no commit (staging garbage, swept on the next
+   * commit) or the complete one — never a torn file a resume would choke
+   * on. One marker FILE per committed batch keeps this O(#batches) tiny
+   * metadata, not a table rewrite.
+   */
+  private def commitLineage(spark: SparkSession, group: Seq[Int]): Unit = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val stagingRoot = s"$root/.lineage_staging"
+    val staging = s"$stagingRoot/${java.util.UUID.randomUUID()}"
+    group.map(b => (b, System.currentTimeMillis()))
+      .toDF("bucket", "committed_at_ms")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new Path(staging))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    require(dataFiles.length == 1,
+      s"staged lineage batch must be one file, found ${dataFiles.length} in $staging")
+    val dst = new Path(lineagePath, s"commit-${group.min}-${group.max}-" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+    fs.mkdirs(new Path(lineagePath))
+    if (!fs.rename(dataFiles(0).getPath, dst))
+      throw new java.io.IOException(s"lineage commit rename failed: $dst")
+    // best-effort sweep: this batch's dir is published; stale siblings are
+    // prior crashes' garbage (readers never see them either way)
+    fs.delete(new Path(staging), true)
+    fs.listStatus(new Path(stagingRoot)).foreach(d => fs.delete(d.getPath, true)): Unit
   }
 
   def read(spark: SparkSession, name: String): DataFrame = spark.read.parquet(outPath(name))

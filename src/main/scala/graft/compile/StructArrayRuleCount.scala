@@ -30,6 +30,42 @@ final case class RuleExactlyOne(fields: Seq[String]) extends ArrayRule
 final case class RuleIncreasing(field: String) extends ArrayRule
 
 /**
+ * How a [[RuleRangeDecimal]] binds to the field's PHYSICAL type. The rule
+ * is chosen from the spec (PUInt64), but the bound column may carry the
+ * field as DecimalType (our readers) or as an integral type (a user-built
+ * DataFrame holding uint64 in a long — the generic emitter's
+ * decimal-literal compare accepted that via implicit numeric promotion, so
+ * the native path must too, not fail at eval). For integral fields the
+ * decimal compare reduces EXACTLY to a clamped long compare:
+ * `x < lo || x > hi` ⇔ `x < ceil(lo) || x > floor(hi)` with bounds clamped
+ * to long range; a rule window entirely outside long space means every
+ * non-null value violates (encoded as the empty window lo=MaxValue,
+ * hi=MinValue, for which one of the two compares always fires).
+ */
+private[compile] object DecimalRuleBinding {
+  sealed trait Binding extends Serializable
+  final case class AsDecimal(precision: Int, scale: Int, lo: Decimal, hi: Decimal) extends Binding
+  final case class AsLong(lo: Long, hi: Long) extends Binding
+
+  def bind(fieldType: DataType, fieldName: String,
+      lo: java.math.BigDecimal, hi: java.math.BigDecimal): Binding = fieldType match {
+    case d: DecimalType => AsDecimal(d.precision, d.scale, Decimal(lo), Decimal(hi))
+    case LongType | IntegerType | ShortType | ByteType =>
+      val loC = lo.setScale(0, java.math.RoundingMode.CEILING)
+      val hiC = hi.setScale(0, java.math.RoundingMode.FLOOR)
+      val minL = java.math.BigDecimal.valueOf(Long.MinValue)
+      val maxL = java.math.BigDecimal.valueOf(Long.MaxValue)
+      if (loC.compareTo(maxL) > 0 || hiC.compareTo(minL) < 0 || loC.compareTo(hiC) > 0)
+        AsLong(Long.MaxValue, Long.MinValue) // empty window
+      else AsLong(
+        if (loC.compareTo(minL) <= 0) Long.MinValue else loC.longValueExact,
+        if (hiC.compareTo(maxL) >= 0) Long.MaxValue else hiC.longValueExact)
+    case other => throw new IllegalArgumentException(
+      s"RuleRangeDecimal field $fieldName: expected decimal or integral, got $other")
+  }
+}
+
+/**
  * Native codegen'd violation COUNTER for a struct-array column: evaluates a
  * compiled rule program in a single pass over the array, emitting unrolled
  * straight-line Java per rule — no higher-order-function lambda dispatch.
@@ -88,21 +124,13 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
       f -> s
     }.toMap
 
-  /** (precision, scale) of a decimal rule field, from the physical type. */
-  private def decPS(f: String): (Int, Int) = structType(ord(f)).dataType match {
-    case d: DecimalType => (d.precision, d.scale)
-    case other => throw new IllegalArgumentException(
-      s"RuleRangeDecimal field $f: expected decimal, got $other")
-  }
-  private lazy val decBounds: Map[String, (Decimal, Decimal)] =
-    rules.collect { case RuleRangeDecimal(f, lo, hi) =>
-      f -> ((Decimal(lo), Decimal(hi)))
-    }.toMap
-  /** Hoisted (precision, scale) per decimal rule field — the interpreted
+  /** Hoisted physical binding per decimal rule field — the interpreted
     * path runs per array element, so re-deriving from the schema there
     * would be per-element work (mirrors Detail's decInfo). */
-  private lazy val decPSCache: Map[String, (Int, Int)] =
-    rules.collect { case RuleRangeDecimal(f, _, _) => f -> decPS(f) }.toMap
+  private lazy val decBind: Map[String, DecimalRuleBinding.Binding] =
+    rules.collect { case RuleRangeDecimal(f, lo, hi) =>
+      f -> DecimalRuleBinding.bind(structType(ord(f)).dataType, f, lo, hi)
+    }.toMap
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
@@ -139,11 +167,13 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
             }
           case RuleRangeDecimal(f, _, _) =>
             val o = ord(f)
-            if (!s.isNullAt(o)) {
-              val (p, sc) = decPSCache(f)
-              val d = s.getDecimal(o, p, sc)
-              val (lo, hi) = decBounds(f)
-              if (d.compare(lo) < 0 || d.compare(hi) > 0) cnt += 1
+            if (!s.isNullAt(o)) decBind(f) match {
+              case DecimalRuleBinding.AsDecimal(p, sc, lo, hi) =>
+                val d = s.getDecimal(o, p, sc)
+                if (d.compare(lo) < 0 || d.compare(hi) > 0) cnt += 1
+              case DecimalRuleBinding.AsLong(lo, hi) =>
+                val x = if (isLongField(f)) s.getLong(o) else s.getInt(o).toLong
+                if (x < lo || x > hi) cnt += 1
             }
           case RuleExactlyOne(fs) =>
             var nn = 0
@@ -195,14 +225,17 @@ case class StructArrayRuleCount(child: Expression, rules: Seq[ArrayRule])
         s"""if (!$s.isNullAt($o)) { long _x = ${getNum(f, o)}; if (_x < ${lo}L || _x > ${hi}L) $cnt++; }"""
       case (RuleRangeDecimal(f, _, _), idx) =>
         val o = ord(f)
-        val (p, sc) = decPS(f)
-        val (loD, hiD) = decBounds(f)
-        val loRef = ctx.addReferenceObj(s"declo$idx", loD, classOf[Decimal].getName)
-        val hiRef = ctx.addReferenceObj(s"dechi$idx", hiD, classOf[Decimal].getName)
-        s"""if (!$s.isNullAt($o)) {
-           |  org.apache.spark.sql.types.Decimal _d = $s.getDecimal($o, $p, $sc);
-           |  if (_d.compare($loRef) < 0 || _d.compare($hiRef) > 0) $cnt++;
-           |}""".stripMargin
+        decBind(f) match {
+          case DecimalRuleBinding.AsDecimal(p, sc, loD, hiD) =>
+            val loRef = ctx.addReferenceObj(s"declo$idx", loD, classOf[Decimal].getName)
+            val hiRef = ctx.addReferenceObj(s"dechi$idx", hiD, classOf[Decimal].getName)
+            s"""if (!$s.isNullAt($o)) {
+               |  org.apache.spark.sql.types.Decimal _d = $s.getDecimal($o, $p, $sc);
+               |  if (_d.compare($loRef) < 0 || _d.compare($hiRef) > 0) $cnt++;
+               |}""".stripMargin
+          case DecimalRuleBinding.AsLong(lo, hi) =>
+            s"""if (!$s.isNullAt($o)) { long _x = ${getNum(f, o)}; if (_x < ${lo}L || _x > ${hi}L) $cnt++; }"""
+        }
       case (RuleExactlyOne(fs), _) =>
         val nnChecks = fs.map(f => s"if (!$s.isNullAt(${ord(f)})) _nn++;").mkString(" ")
         s"{ int _nn = 0; $nnChecks if (_nn != 1) $cnt++; }"

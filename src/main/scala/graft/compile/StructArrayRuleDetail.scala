@@ -90,21 +90,19 @@ case class StructArrayRuleDetail(child: Expression, rules: Seq[DetailRule])
     case RuleIncreasing(f) => ord(f)
     case _: RuleExactlyOne => -1
   })
-  /** (precision, scale, lo, hi) per decimal-range rule; null otherwise. */
-  private lazy val decInfo: Array[(Int, Int, Decimal, Decimal)] =
+  /** Physical binding per decimal-range rule; null otherwise. */
+  private lazy val decInfo: Array[DecimalRuleBinding.Binding] =
     rulesArr.map(_.rule match {
       case RuleRangeDecimal(f, lo, hi) =>
-        val (p, sc) = structType(ord(f)).dataType match {
-          case d: DecimalType => (d.precision, d.scale)
-          case other => throw new IllegalArgumentException(
-            s"RuleRangeDecimal field $f: expected decimal, got $other")
-        }
-        (p, sc, Decimal(lo), Decimal(hi))
+        DecimalRuleBinding.bind(structType(ord(f)).dataType, f, lo, hi)
       case _ => null
     })
   private lazy val ruleIsLong: Array[Boolean] = rulesArr.map(_.rule match {
     case RuleRange(f, _, _) => isLongField(f)
     case RuleIncreasing(f) => isLongField(f)
+    // only consulted when the decimal rule bound to an integral field
+    case RuleRangeDecimal(f, _, _) if !structType(ord(f)).dataType.isInstanceOf[DecimalType] =>
+      isLongField(f)
     case _ => false
   })
   private lazy val oneOfOrds: Array[Array[Int]] = rulesArr.map(_.rule match {
@@ -184,12 +182,16 @@ case class StructArrayRuleDetail(child: Expression, rules: Seq[DetailRule])
               }
             case RuleRangeDecimal(_, _, _) =>
               val o = ruleOrd(k)
-              if (!s.isNullAt(o)) {
-                val (p, sc, lo, hi) = decInfo(k)
-                val d = s.getDecimal(o, p, sc)
-                // detail text = decimal→string cast, same as the generic form
-                if (d.compare(lo) < 0 || d.compare(hi) > 0)
-                  add(vioRow(k, path(k, i), UTF8String.fromString(d.toString)))
+              if (!s.isNullAt(o)) decInfo(k) match {
+                case DecimalRuleBinding.AsDecimal(p, sc, lo, hi) =>
+                  val d = s.getDecimal(o, p, sc)
+                  // detail text = decimal→string cast, same as the generic form
+                  if (d.compare(lo) < 0 || d.compare(hi) > 0)
+                    add(vioRow(k, path(k, i), UTF8String.fromString(d.toString)))
+                case DecimalRuleBinding.AsLong(lo, hi) =>
+                  val x = if (ruleIsLong(k)) s.getLong(o) else s.getInt(o).toLong
+                  if (x < lo || x > hi)
+                    add(vioRow(k, path(k, i), UTF8String.fromString(String.valueOf(x))))
               }
             case RuleExactlyOne(_) =>
               val ords = oneOfOrds(k)

@@ -172,6 +172,25 @@ object Drift {
     Chi2Result(stat, dof, 1.0 - gammaP(dof / 2.0, stat / 2.0))
   }
 
+  /**
+   * INDEPENDENT approximation of the chi² upper-tail p-value: the Wilson &
+   * Hilferty (1931) cube-root normal transform, Φ via the Abramowitz–Stegun
+   * 7.1.26 erf polynomial. Two disjoint published algorithms; used as a
+   * tolerance pin against the gamma-series p-value (agreement ≲0.02 across
+   * the practical (dof, statistic) range) so the non-SQL-expressible gamma
+   * path gets a driver-checkable oracle twin.
+   */
+  def chiSquarePValueWH(statistic: Double, dof: Int): Double = {
+    val k = dof.toDouble
+    val z = (math.cbrt(statistic / k) - (1.0 - 2.0 / (9.0 * k))) / math.sqrt(2.0 / (9.0 * k))
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(z) / math.sqrt(2.0))
+    val poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+      t * (-1.453152027 + t * 1.061405429))))
+    val erf = 1.0 - poly * math.exp(-z * z / 2.0)
+    val phi = if (z >= 0) 0.5 * (1.0 + erf) else 0.5 * (1.0 - erf)
+    1.0 - phi
+  }
+
   /** Regularized lower incomplete gamma P(a,x) (series + continued fraction, NR §6.2). */
   private[graft] def gammaP(a: Double, x: Double): Double = {
     if (x < 0 || a <= 0) return Double.NaN

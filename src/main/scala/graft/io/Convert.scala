@@ -296,22 +296,37 @@ object Convert {
     val parseVio = SpecCompiler.vio(
       col(xmlCol).isNotNull && col("_rec._corrupt_record").isNotNull,
       "parse:xml", "$", col(xmlCol))
+    // comment/CDATA-stripped text for the raw scans below: "<word" inside
+    // them cannot false-positive; "</", "<?" never match the name charset
+    val scannable = regexp_replace(col(xmlCol),
+      lit("(?s)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>"), lit(""))
+    // the reference REJECTS namespaces and attributes at parse level
+    // (`piqi_xml.ml:127-132`: "namespaces are not allowed in XML element
+    // names" / "attributes are not allowed in XML elements") — both are
+    // violations regardless of strictness, not local-name-matched away.
+    // Unescaped "<name" / "name=" can only occur inside real tags, so the
+    // raw regexes cannot fire on (escaped) text content.
+    val nsNames = array_distinct(regexp_extract_all(scannable,
+      lit("</?([A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z_][A-Za-z0-9_.-]*)"), lit(1)))
+    val nsVio = SpecCompiler.vio(col(xmlCol).isNotNull && size(nsNames) > 0,
+      "xml-namespace", "$", concat_ws(",", nsNames))
+    val attrTags = array_distinct(regexp_extract_all(scannable,
+      lit("<([A-Za-z_][A-Za-z0-9_.-]*(?::[A-Za-z_][A-Za-z0-9_.-]*)?)\\s+[^<>]*?[A-Za-z_][A-Za-z0-9_.:-]*\\s*="),
+      lit(1)))
+    val attrVio = SpecCompiler.vio(col(xmlCol).isNotNull && size(attrTags) > 0,
+      "xml-attribute", "$", concat_ws(",", attrTags))
     // strict: element names outside the spec's legal set → unknown-element.
     // Non-strict tolerates unknown elements, mirroring the JSON unknown-key
-    // semantics (warning-level in the reference). Comments and CDATA are
-    // stripped first so "<word" inside them cannot false-positive; "</",
-    // "<?" never match the name charset. The document's ACTUAL root element
-    // (the first extracted name) is always legal — `from_xml` parses any
-    // root tag, so a wrapper differing from the `rootTag` parameter is not
-    // an unknown element. Namespace-prefixed elements (`<ns:tag>`) compare
-    // by LOCAL name (prefix stripped) — piqi XML has no namespaces
-    // (doc/encodings.md), so a prefix carries no spec meaning here.
+    // semantics (warning-level in the reference). The document's ACTUAL
+    // root element (the first extracted name) is always legal — `from_xml`
+    // parses any root tag, so a wrapper differing from the `rootTag`
+    // parameter is not an unknown element. Namespace-prefixed elements
+    // need no unknown-element treatment here: they are rejected outright
+    // by the xml-namespace rule above, like the reference.
     val elemVio =
       if (!spec.resolved.strict) SpecCompiler.emptyVio
       else {
         val legal = (legalElementNames(spec) + rootTag).toSeq
-        val scannable = regexp_replace(col(xmlCol),
-          lit("(?s)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>"), lit(""))
         val names = array_distinct(regexp_extract_all(
           scannable,
           lit("<(?:[A-Za-z_][A-Za-z0-9_.-]*:)?([A-Za-z_][A-Za-z0-9_.-]*)"), lit(1)))
@@ -328,8 +343,9 @@ object Convert {
         col(xmlCol).isNotNull && col("_rec._corrupt_record").isNull)
     val flat = parsed.select(
       (schema.fields.map(f => col(s"_rec.${f.name}").as(f.name)) :+
-        col(xmlCol).as("_raw") :+ parseVio.as("_pv") :+ elemVio.as("_ev") :+
-        posVio.as("_wv")): _*)
+        col(xmlCol).as("_raw") :+
+        SpecCompiler.concatVios(Seq(parseVio, nsVio, attrVio)).as("_pv") :+
+        elemVio.as("_ev") :+ posVio.as("_wv")): _*)
     flat
       .withColumn("violations", concat(col("_pv"), col("_ev"), col("_wv"), plan.violations))
       .withColumn("valid", size(col("violations")) === 0)
@@ -405,10 +421,24 @@ object Convert {
    * legal count, reproducing the reference's per-record-level
    * unknown-field detection (`piqobj_of_xml.ml:133,184` fires for ANY
    * undeclared element at a level, known-elsewhere or not). Strict-mode
-   * only (2 XPath parses per name per doc); `guard` must exclude malformed
-   * docs — Spark's xpath THROWS on unparseable XML.
+   * only — and the probe costs 2 XPath PARSES per known name per document,
+   * so a very wide spec makes this the dominant per-doc cost; `guard` must
+   * exclude malformed docs — Spark's xpath THROWS on unparseable XML.
+   *
+   * Spark's `xpath` runs with secure processing (DTDs disallowed), so a
+   * DOCTYPE that `from_xml` happily parses would THROW here and kill the
+   * job: the probe input has any DOCTYPE declaration stripped (same
+   * pre-scan stripping as comments/CDATA in the name scan), and documents
+   * still carrying non-predefined entity references after that (entities
+   * the stripped DTD defined — undecidable without the DTD) are exempted
+   * from this check rather than allowed to throw.
    */
-  private def wrongPositionVio(xmlCol: Column, spec: Spec, guard: Column): Column = {
+  private def wrongPositionVio(xmlRaw: Column, spec: Spec, guard0: Column): Column = {
+    val xmlCol = regexp_replace(xmlRaw,
+      lit("(?s)<!DOCTYPE[^>\\[]*(\\[.*?\\])?[^>]*>"), lit(""))
+    val hasCustomEntity =
+      xmlCol.rlike("&(?!amp;|lt;|gt;|apos;|quot;|#)[A-Za-z_][A-Za-z0-9._-]*;")
+    val guard = guard0 && !hasCustomEntity
     val (paths, wildcards) = legalElementPaths(spec)
     val checks: Seq[Column] = paths.toSeq.sortBy(_._1).map { case (n, ps) =>
       // "/$n" whitelists the DOCUMENT ROOT position: any root tag is legal

@@ -55,10 +55,11 @@ object JsonShape {
     * probed in raw space at every level below the root as `parse:value`;
     * `rootScalars=true` extends the probe to root-level members (for
     * callers without [[Convert.fromJson]]'s stronger parsed-vs-raw root
-    * check, e.g. piqi-any validation). Remaining documented narrowing: the
-    * raw map capture strips quotes, so a QUOTED scalar (`"12"` where int is
-    * declared) is indistinguishable from `12` here — at the root the
-    * parsed-column probe still catches it. */
+    * check, e.g. piqi-any validation). Under STRICT mode a QUOTED scalar
+    * (`"12"` where int is declared — invisible in the quote-stripping raw
+    * capture) is additionally flagged at every level via the typed-parse
+    * probe ([[quotedScalarVio]]), matching `piqobj_of_json.ml:40-43`;
+    * non-strict plays the reference's relaxed mode and accepts it. */
   def checkKeys(jsonCol: Column, spec0: Spec, rootScalars: Boolean = false): Column = {
     val spec = spec0.resolved
     val root = spec.defTable(spec.root) match {
@@ -89,8 +90,23 @@ object JsonShape {
 
     val m = from_json(objStr, strMap)
     val subVios: Seq[Column] = ms.sortBy(_.key).map { mem =>
-      valueVios(element_at(m, mem.key), mem.tpe, repeated = mem.repeated,
+      val raw = element_at(m, mem.key)
+      val inner = valueVios(raw, mem.tpe, repeated = mem.repeated,
         s"$path.${mem.name}", spec, seen, scalarChecks)
+      // strict quoted-scalar probe (needs the OBJECT text — quoting is
+      // gone from the stripped raw capture). Gated on scalarChecks: at the
+      // root, fromJson's parsed-vs-raw check already reports these.
+      val quoted =
+        if (spec.strict && scalarChecks && !mem.repeated)
+          unalias(mem.tpe, spec) match {
+            case b @ (PBool | PInt(_, _) | PUInt64 | PFloat | PFloat32) =>
+              val present = raw.isNotNull && trim(raw) =!= "null"
+              quotedScalarVio(objStr, raw, present, mem.key, b,
+                s"$path.${mem.name}")
+            case _ => SpecCompiler.emptyVio
+          }
+        else SpecCompiler.emptyVio
+      concat(inner, quoted)
     }
     SpecCompiler.concatVios(unknownVio +: dupVio +: subVios)
   }
@@ -136,17 +152,16 @@ object JsonShape {
   /** Max magnitude representable in the PUInt64 column type Decimal(20,0). */
   private val Dec20Max = new java.math.BigDecimal("99999999999999999999")
 
-  /** Raw-space parse probe for one scalar value: fires when the raw text
-    * cannot become a non-null value of the declared column type (Long for
-    * ints, Decimal(20,0) for uint64, Double for floats, Boolean).
-    * `try_cast` (not `cast`) throughout: garbage must yield a VIOLATION
-    * row, never an ANSI cast exception. */
-  private def scalarParseVio(raw: Column, present: Column, base: PiqiType,
-      path: String): Column = {
+  /** Raw text cannot become a non-null value of the declared scalar's
+    * column type (Long for ints, Decimal(20,0) for uint64, Double for
+    * floats, Boolean); None for types that always capture. `try_cast`
+    * (not `cast`) throughout: garbage must yield a VIOLATION row, never an
+    * ANSI cast exception. */
+  private def rawBad(raw: Column, base: PiqiType): Option[Column] = {
     val t = trim(raw)
     val intRe = "^-?[0-9]+$"
     def dec = t.try_cast(DecimalType(38, 0))
-    val bad: Option[Column] = base match {
+    base match {
       case PBool => Some(!t.isin("true", "false"))
       case PInt(_, _) => Some(!t.rlike(intRe) || dec.isNull ||
         dec < lit(java.math.BigDecimal.valueOf(Long.MinValue)) ||
@@ -156,8 +171,40 @@ object JsonShape {
       case PFloat | PFloat32 => Some(t.try_cast(DoubleType).isNull)
       case _ => None // strings/binary/any always capture
     }
-    bad.map(b => SpecCompiler.vio(present && b, "parse:value", path, raw))
+  }
+
+  /** Raw-space parse probe for one scalar value — fires on [[rawBad]]. */
+  private def scalarParseVio(raw: Column, present: Column, base: PiqiType,
+      path: String): Column =
+    rawBad(raw, base)
+      .map(b => SpecCompiler.vio(present && b, "parse:value", path, raw))
       .getOrElse(SpecCompiler.emptyVio)
+
+  /** Column type the typed-parse quoted-scalar probe uses. */
+  private def scalarSparkType(base: PiqiType): DataType = base match {
+    case PUInt64 => DecimalType(20, 0)
+    case _: PInt => LongType
+    case PBool => BooleanType
+    case _ => DoubleType
+  }
+
+  /**
+   * STRICT-mode quoted-scalar probe (`piqobj_of_json.ml:40-43`: a JSON
+   * STRING where an int/float/bool is declared errors unless relaxed mode;
+   * our non-strict plays relaxed). The raw map capture strips quotes, so
+   * `"12"` and `12` are indistinguishable there — but Spark's TYPED
+   * `from_json` refuses the string form (field parses to null), so:
+   * present ∧ typed-null ∧ raw-parses-fine ⇔ the value was quoted (or
+   * otherwise notationally mistyped). The raw-parses-fine conjunct keeps
+   * this disjoint from [[scalarParseVio]] — one violation per bad value,
+   * never two.
+   */
+  private def quotedScalarVio(objStr: Column, raw: Column, present: Column,
+      key: String, base: PiqiType, path: String): Column = {
+    val typed = from_json(objStr,
+      StructType(Seq(StructField(key, scalarSparkType(base))))).getField(key)
+    val rawOk = rawBad(raw, base).map(b => !b).getOrElse(lit(true))
+    SpecCompiler.vio(present && typed.isNull && rawOk, "parse:value", path, raw)
   }
 
   private def recordValueVios(valStr: Column, present: Column, fields: Seq[PField],
@@ -176,6 +223,22 @@ object JsonShape {
     val elems = from_json(valStr, strArr)
     val shape = SpecCompiler.vio(present && elems.isNull,
       "parse:array-expected", path, valStr)
+    // strict quoted-scalar probe for ARRAY elements: the typed array parse
+    // refuses a quoted element (whole array nulls) while every raw element
+    // text parses fine — flags the field once (element indices are not
+    // recoverable from the all-or-nothing typed parse). Disjoint from the
+    // per-element raw-space probes by the all-raw-ok conjunct.
+    val quotedArr = unalias(elemType, spec) match {
+      case b @ (PBool | PInt(_, _) | PUInt64 | PFloat | PFloat32) if spec.strict =>
+        val typedArr = from_json(valStr, ArrayType(scalarSparkType(b)))
+        val elemBad = (e: Column) =>
+          rawBad(e, b).map(bc => (trim(e) =!= "null") && bc).getOrElse(lit(false))
+        val allRawOk =
+          size(filter(coalesce(elems, array().cast(strArr)), elemBad)) === 0
+        SpecCompiler.vio(present && elems.isNotNull && typedArr.isNull && allRawOk,
+          "parse:value", path, valStr)
+      case _ => SpecCompiler.emptyVio
+    }
     // recurse when elements can have key shape (and the element type is not
     // at its recursion cutoff), or carry a scalar parse probe
     val needsRecursion = unalias(elemType, spec) match {
@@ -187,7 +250,7 @@ object JsonShape {
       case PBool | _: PInt | PUInt64 | PFloat | PFloat32 => true
       case _ => false
     }
-    if (!needsRecursion) shape
+    if (!needsRecursion) concat(shape, quotedArr)
     else {
       val stamped = transform(coalesce(elems, array().cast(strArr)), (e, i) =>
         transform(valueVios(e, elemType, repeated = false, path, spec, seen), v =>
@@ -195,7 +258,7 @@ object JsonShape {
             concat(lit(path), lit("["), i.cast(StringType), lit("]"),
               substring(v.getField("path"), path.length + 1, 1000000)).as("path"),
             v.getField("detail").as("detail"))))
-      concat(shape, flatten(stamped))
+      concat(shape, quotedArr, flatten(stamped))
     }
   }
 

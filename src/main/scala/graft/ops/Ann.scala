@@ -1,10 +1,11 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Vectors
+import scala.collection.mutable
 
 /**
  * Approximate-nearest-neighbor search over an embedding column.
@@ -24,27 +25,72 @@ object Ann {
   /** (score, id) pair kept in heaps / results. */
   final case class Scored(score: Double, id: Long)
 
-  /** Bounded min-heap aggregator: top-k by score with map-side partials. */
+  /**
+   * Bounded top-k aggregator with map-side partials, DISTINCT by id, and a
+   * deterministic tie-break (score desc, then id asc — matching a
+   * `row_number` over `orderBy(score.desc, id)`).
+   *
+   * The buffer is an id→score map of at most k entries, so the same
+   * candidate arriving through several LSH probes / IVF cells costs one
+   * slot, not k — no upstream `dropDuplicates` exchange is needed. Each
+   * partition contributes ≤k entries to the one shuffle; the per-insert
+   * worst-entry scan is O(k) on a tiny constant (k ≲ 100 in any sane ANN).
+   */
   class TopKAggregator(k: Int)
-      extends Aggregator[Scored, scala.collection.mutable.PriorityQueue[Scored], Seq[Scored]] {
-    private def ord: Ordering[Scored] = Ordering.by(s => -s.score) // min-heap on score
-    override def zero = scala.collection.mutable.PriorityQueue.empty[Scored](ord)
-    override def reduce(h: scala.collection.mutable.PriorityQueue[Scored], a: Scored) = {
-      h.enqueue(a)
-      while (h.size > k) h.dequeue()
+      extends Aggregator[Scored, mutable.HashMap[Long, Double], Seq[Scored]] {
+    require(k > 0, "k must be positive")
+    private def beats(s: Double, id: Long, ws: Double, wid: Long): Boolean =
+      s > ws || (s == ws && id < wid)
+    private def add(h: mutable.HashMap[Long, Double], id: Long, s: Double)
+        : mutable.HashMap[Long, Double] = {
+      if (!h.contains(id)) {
+        if (h.size < k) h.update(id, s)
+        else {
+          // find the worst entry: lowest score, ties broken to HIGHEST id
+          // (so the kept set is the same one the window rank would keep)
+          var wid = 0L; var ws = 0.0; var first = true
+          h.foreach { case (hid, hs) =>
+            if (first || hs < ws || (hs == ws && hid > wid)) {
+              ws = hs; wid = hid; first = false
+            }
+          }
+          if (beats(s, id, ws, wid)) { h.remove(wid); h.update(id, s) }
+        }
+      }
       h
     }
-    override def merge(h1: scala.collection.mutable.PriorityQueue[Scored],
-        h2: scala.collection.mutable.PriorityQueue[Scored]) = {
-      h2.foreach { s => h1.enqueue(s); while (h1.size > k) h1.dequeue() }
+    override def zero = mutable.HashMap.empty[Long, Double]
+    override def reduce(h: mutable.HashMap[Long, Double], a: Scored) =
+      add(h, a.id, a.score)
+    override def merge(h1: mutable.HashMap[Long, Double],
+        h2: mutable.HashMap[Long, Double]) = {
+      h2.foreach { case (id, s) => add(h1, id, s) }
       h1
     }
-    override def finish(h: scala.collection.mutable.PriorityQueue[Scored]): Seq[Scored] =
-      h.toSeq.sortBy(s => (-s.score, s.id))
-    override def bufferEncoder: Encoder[scala.collection.mutable.PriorityQueue[Scored]] =
-      Encoders.kryo[scala.collection.mutable.PriorityQueue[Scored]]
+    override def finish(h: mutable.HashMap[Long, Double]): Seq[Scored] =
+      h.iterator.map { case (id, s) => Scored(s, id) }.toSeq
+        .sortBy(s => (-s.score, s.id))
+    override def bufferEncoder: Encoder[mutable.HashMap[Long, Double]] =
+      Encoders.kryo[mutable.HashMap[Long, Double]]
     override def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /**
+   * Shared final stage for every ANN path: ONE partial-aggregable
+   * groupBy(query_id) with the bounded distinct heap, then rank by heap
+   * order. Shuffle volume is O(#queries × k × #partitions) heap entries —
+   * never the candidate set — and there is no per-query window sort.
+   */
+  private def finishTopK(candidates: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    candidates
+      .where(col("score").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(topk(col("score"), col("doc_id")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
 
   /**
@@ -66,14 +112,7 @@ object Ann {
       .where(col("doc_id") =!= col("query_id")) // self-match excluded
       .select(col("query_id"), col("doc_id"),
         Vectors.cosine(col("dv"), col("qv")).as("score"))
-
-    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
-    scored
-      .groupBy(col("query_id"))
-      .agg(topk(col("score"), col("doc_id")).as("nn"))
-      .select(col("query_id"), posexplode(col("nn")))
-      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+    finishTopK(scored, k)
   }
 
   /**
@@ -114,14 +153,13 @@ object Ann {
         explode(array((Seq(col("cell0")) ++
           (0 until bits).map(b => col("cell0").bitwiseXOR(lit(1L << b)))): _*)).as("cell"))
 
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    dBuckets.join(broadcast(qBuckets), Seq("probe", "cell"))
+    // per-(query,doc) dedup across probes happens INSIDE the bounded heap
+    // (it is keyed by doc id), so the candidate stream feeds ONE partial
+    // aggregation — no dropDuplicates exchange, no per-query window sort
+    val cand = dBuckets.join(broadcast(qBuckets), Seq("probe", "cell"))
       .where(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id"), Vectors.cosine(col("dv"), col("qv")).as("score"))
-      .dropDuplicates("query_id", "doc_id")
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id").as("neighbor_id"), col("score"))
+    finishTopK(cand, k)
   }
 
   // ---------- IVF (trained coarse quantizer) ----------
@@ -156,8 +194,16 @@ object Ann {
         }
       }
     require(raw.nonEmpty, "no usable vectors to train on")
-    val dim = raw(0).length
+    // corpus dimension = MODAL vector length in the sample (ties → smaller
+    // dim, deterministic). Trusting raw(0) would let a single ragged
+    // outlier that happens to hash first set the wrong dim and discard
+    // every well-formed vector — the exact failure this skip-don't-die
+    // policy exists to prevent.
+    val dim = raw.groupBy(_.length).view.mapValues(_.length).toSeq
+      .minBy { case (len, n) => (-n, len) }._1
     val sample = raw.filter(_.length == dim) // drop ragged outliers
+    require(sample.length >= math.min(nCells, raw.length),
+      s"only ${sample.length} usable vectors of modal dim $dim — too few to train $nCells cells")
     // init: the hash-order sample's first nCells vectors (deterministic)
     val cent = Array.tabulate(math.min(nCells, sample.length))(i => sample(i).clone())
     var it = 0
@@ -228,18 +274,18 @@ object Ann {
       nProbe: Int = 4): DataFrame = {
     import graft.functions.VectorExpressions
     val d0 = docs.select(col(idCol).cast(LongType).as("doc_id"), col(vecCol).as("dv"))
+    // cell = -1 marks unassignable vectors (null/ragged/NaN): filter them on
+    // BOTH sides so garbage docs never join garbage queries
     val dCells = d0.withColumn("cell",
-      VectorExpressions.nearestCentroids(col("dv"), centroids, 1)(0))
+        VectorExpressions.nearestCentroids(col("dv"), centroids, 1)(0))
+      .where(col("cell") >= 0)
     val q0 = queries.select(col(qIdCol).cast(LongType).as("query_id"), col(qVecCol).as("qv"))
     val qCells = q0.select(col("query_id"), col("qv"),
-      explode(VectorExpressions.nearestCentroids(col("qv"), centroids, nProbe)).as("cell"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    dCells.join(broadcast(qCells), Seq("cell"))
+        explode(VectorExpressions.nearestCentroids(col("qv"), centroids, nProbe)).as("cell"))
+      .where(col("cell") >= 0)
+    val cand = dCells.join(broadcast(qCells), Seq("cell"))
       .where(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id"), Vectors.cosine(col("dv"), col("qv")).as("score"))
-      .dropDuplicates("query_id", "doc_id")
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id").as("neighbor_id"), col("score"))
+    finishTopK(cand, k)
   }
 }

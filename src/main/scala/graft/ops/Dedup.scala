@@ -329,10 +329,21 @@ object Dedup {
   /**
    * n-gram Jaccard near-dups over an explicit candidate set (self-join of a
    * bounded id range or pre-bucketed candidates). For unbounded inputs use
-   * [[minhashNearDups]] — this exact variant is the verifier / small-N path.
+   * [[minhashNearDups]] — this exact variant is the verifier / small-N path,
+   * and it ENFORCES that contract: the input is counted up front and the
+   * call throws (before any cross join is scheduled) when it exceeds
+   * `maxRows`. The count is one cheap job on an input that is small by
+   * contract; an unguarded O(n²) cartesian reaching a 10^9-row frame by
+   * accident is the scale failure this forbids.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxRows: Long = 100000L): DataFrame = {
+    require(maxRows > 0, "maxRows must be positive")
+    val nRows = df.count()
+    require(nRows <= maxRows,
+      s"ngramJaccardPairs is the exact small-N verifier: input has $nRows rows > maxRows=$maxRows " +
+        s"(~${nRows * nRows / 2} candidate pairs); use minhashNearDups for unbounded inputs " +
+        "or raise maxRows deliberately")
     val sh = df.select(col(idCol).as("id"),
       array_distinct(Text.shingles(col(textCol), n)).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))

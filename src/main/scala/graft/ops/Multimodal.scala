@@ -16,14 +16,13 @@ import org.apache.spark.sql.types._
  * `doc/piqi.md:404-415`), and decode/feature-extraction runs as a
  * batched per-partition map.
  *
- * Decoders are REAL for the formats the JDK ships codecs for:
+ * Decoders are REAL for all three modalities, using only JDK codecs:
  *  - `image/png` — `javax.imageio.ImageIO` (true width/height/pixel stats);
  *  - `audio/wav` — `javax.sound.sampled.AudioSystem` (true sample
- *    rate/channel/PCM stats).
- * `video/mp4` has no JDK codec; those payloads use a clearly-labeled
- * synthetic container ([[VideoStub]]: magic + frame count) whose "decode"
- * validates the magic and derives deterministic pseudo-features — the one
- * remaining stub, with the poison/null paths as real as the others.
+ *    rate/channel/PCM stats);
+ *  - `video/avi` — Motion-JPEG in a RIFF/AVI container ([[Avi]]): the RIFF
+ *    tree is parsed per the public AVI spec and every frame is a real JPEG
+ *    decoded with ImageIO (true frame count/dims/fps/luminance/motion).
  */
 object Multimodal {
 
@@ -81,36 +80,149 @@ object Multimodal {
     (bos.toByteArray, n * 1000 / 8000)
   }
 
-  /** Synthetic video container — LABELED STUB (no JDK video codec exists):
-    * 8-byte magic + big-endian frame count + deterministic filler bytes. */
-  private[ops] object VideoStub {
-    val Magic: Array[Byte] = "GRAFTVID".getBytes("US-ASCII")
-    def make(id: Long): (Array[Byte], Int) = {
-      val frames = (id % 750).toInt + 25
-      val filler = 32 + (id % 64).toInt
-      val out = new Array[Byte](12 + filler)
-      System.arraycopy(Magic, 0, out, 0, 8)
-      out(8) = (frames >> 24).toByte; out(9) = (frames >> 16).toByte
-      out(10) = (frames >> 8).toByte; out(11) = frames.toByte
-      var i = 0
-      while (i < filler) { out(12 + i) = ((id * 131 + i * 7) % 256).toByte; i += 1 }
-      (out, frames * 40) // 25 fps
+  /**
+   * Minimal REAL video container: Motion-JPEG inside a RIFF/AVI file.
+   * The AVI (RIFF) layout is the public Microsoft "AVI RIFF File
+   * Reference" structure — `RIFF('AVI ' LIST('hdrl' avih LIST('strl'
+   * strh strf)) LIST('movi' 00dc...))` — and each `00dc` chunk is a
+   * complete JPEG frame, so both the writer and the reader use only the
+   * JDK's real JPEG codec (ImageIO). Nothing here is synthetic beyond the
+   * pixel CONTENT of the generated frames; parsing, decoding, and every
+   * reported feature are real.
+   */
+  private[ops] object Avi {
+    private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
-    def frames(payload: Array[Byte]): Int = {
-      if (payload.length < 12) throw new IllegalArgumentException("truncated video container")
-      var i = 0
-      while (i < 8) {
-        if (payload(i) != Magic(i)) throw new IllegalArgumentException("bad video magic")
-        i += 1
+    private def le16(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    private def fourcc(out: ByteArrayOutputStream, s: String): Unit =
+      out.write(s.getBytes("US-ASCII"), 0, 4)
+
+    /** Encode one deterministic RGB frame as a real JPEG. */
+    private def jpegFrame(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+          val g = ((id * 17 + f * 23 + x * 3 + y * 29) % 256).toInt
+          val b = ((id * 53 + f * 11 + x * 11 + y * 5) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
       }
-      ((payload(8) & 0xff) << 24) | ((payload(9) & 0xff) << 16) |
-        ((payload(10) & 0xff) << 8) | (payload(11) & 0xff)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic MJPEG-AVI for id: (bytes, durationMs). 25 fps. */
+    def make(id: Long): (Array[Byte], Int) = {
+      val frames = 2 + (id % 6).toInt
+      val w = 16 + (id % 4).toInt * 4
+      val h = 12 + (id % 3).toInt * 4
+      val jpegs = Array.tabulate(frames)(f => jpegFrame(id, f, w, h))
+
+      def list(kind: String)(body: ByteArrayOutputStream => Unit): Array[Byte] = {
+        val b = new ByteArrayOutputStream(); body(b)
+        val out = new ByteArrayOutputStream()
+        fourcc(out, "LIST"); le32(out, 4 + b.size()); fourcc(out, kind)
+        out.write(b.toByteArray); out.toByteArray
+      }
+      def chunk(kind: String, data: Array[Byte]): Array[Byte] = {
+        val out = new ByteArrayOutputStream()
+        fourcc(out, kind); le32(out, data.length); out.write(data)
+        if (data.length % 2 != 0) out.write(0) // RIFF chunks are word-aligned
+        out.toByteArray
+      }
+
+      val avih = { // MainAVIHeader (56 bytes)
+        val b = new ByteArrayOutputStream()
+        le32(b, 40000); le32(b, 0); le32(b, 0); le32(b, 0) // usec/frame, maxBps, pad, flags
+        le32(b, frames); le32(b, 0); le32(b, 1); le32(b, 0) // totalFrames, initial, streams, bufSize
+        le32(b, w); le32(b, h); le32(b, 0); le32(b, 0); le32(b, 0); le32(b, 0)
+        b.toByteArray
+      }
+      val strh = { // AVIStreamHeader (56 bytes)
+        val b = new ByteArrayOutputStream()
+        fourcc(b, "vids"); fourcc(b, "MJPG")
+        le32(b, 0); le32(b, 0); le32(b, 0)           // flags, prio+lang, initialFrames
+        le32(b, 1); le32(b, 25); le32(b, 0)          // scale, rate (25 fps), start
+        le32(b, frames); le32(b, 0); le32(b, 0); le32(b, 0) // length, bufSize, quality, sampleSize
+        le16(b, 0); le16(b, 0); le16(b, w); le16(b, h)      // rcFrame
+        b.toByteArray
+      }
+      val strf = { // BITMAPINFOHEADER (40 bytes)
+        val b = new ByteArrayOutputStream()
+        le32(b, 40); le32(b, w); le32(b, h); le16(b, 1); le16(b, 24)
+        fourcc(b, "MJPG"); le32(b, w * h * 3)
+        le32(b, 0); le32(b, 0); le32(b, 0); le32(b, 0)
+        b.toByteArray
+      }
+      val hdrl = list("hdrl") { b =>
+        b.write(chunk("avih", avih))
+        b.write(list("strl") { s => s.write(chunk("strh", strh)); s.write(chunk("strf", strf)) })
+      }
+      val movi = list("movi") { b => jpegs.foreach(j => b.write(chunk("00dc", j))) }
+
+      val body = new ByteArrayOutputStream()
+      fourcc(body, "AVI "); body.write(hdrl); body.write(movi)
+      val out = new ByteArrayOutputStream()
+      fourcc(out, "RIFF"); le32(out, body.size()); out.write(body.toByteArray)
+      (out.toByteArray, frames * 40)
+    }
+
+    // ---- reader ----
+    private def rd32(p: Array[Byte], off: Int): Int = {
+      if (off + 4 > p.length) throw new IllegalArgumentException("truncated AVI")
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    }
+    private def cc(p: Array[Byte], off: Int): String = {
+      if (off + 4 > p.length) throw new IllegalArgumentException("truncated AVI")
+      new String(p, off, 4, "US-ASCII")
+    }
+
+    final case class Parsed(width: Int, height: Int, fps: Double, frames: Seq[BufferedImage])
+
+    /** Walk the RIFF tree; decode every `xxdc` frame chunk with ImageIO. */
+    def parse(payload: Array[Byte]): Parsed = {
+      if (cc(payload, 0) != "RIFF" || cc(payload, 8) != "AVI ")
+        throw new IllegalArgumentException("not a RIFF/AVI container")
+      val end = math.min(payload.length.toLong, 8L + rd32(payload, 4)).toInt
+      var usecPerFrame = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[BufferedImage]
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val kind = cc(payload, off)
+          val size = rd32(payload, off + 4)
+          if (size < 0 || off + 8 + size > to) throw new IllegalArgumentException("bad chunk size")
+          if (kind == "LIST") walk(off + 12, off + 8 + size)
+          else if (kind == "avih") usecPerFrame = rd32(payload, off + 8)
+          else if (kind.endsWith("dc")) {
+            val img = ImageIO.read(new ByteArrayInputStream(payload, off + 8, size))
+            if (img == null) throw new IllegalArgumentException("undecodable frame")
+            frames += img
+          }
+          off += 8 + size + (size & 1)
+        }
+      }
+      walk(12, end)
+      if (frames.isEmpty) throw new IllegalArgumentException("no video frames")
+      val fps = if (usecPerFrame > 0) 1e6 / usecPerFrame else 0.0
+      Parsed(frames.head.getWidth, frames.head.getHeight, fps, frames.toSeq)
     }
   }
 
   /**
    * Deterministic synthetic media table with REAL payload bytes: PNG for
-   * images, WAV for audio, [[VideoStub]] containers for video. Every 50th
+   * images, WAV for audio, MJPEG-AVI ([[Avi]]) for video. Every 50th
    * row has a NULL payload (missing blob); every 7th a POISON payload (the
    * real bytes truncated to 8 — fails every decoder). Metadata columns
    * carry the true decoded values (width/height for images, duration for
@@ -130,8 +242,8 @@ object Multimodal {
             val (bytes, ms) = makeWav(id)
             ("audio/wav", bytes, None, None, Some(ms))
           case _ =>
-            val (bytes, ms) = VideoStub.make(id)
-            ("video/mp4", bytes, None, None, Some(ms))
+            val (bytes, ms) = Avi.make(id)
+            ("video/avi", bytes, None, None, Some(ms))
         }
         val payload =
           if (id % 50 == 0) null
@@ -283,23 +395,39 @@ object Multimodal {
     } finally ais.close()
   }
 
-  /** Video "decode" — the labeled stub path: validates the [[VideoStub]]
-    * container, derives deterministic pseudo-features from the bytes. */
-  private def videoFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    val frames = VideoStub.frames(payload)
-    val out = new Array[Float](dim)
-    if (dim > 0) out(0) = frames.toFloat
-    if (dim > 1) out(1) = payload.length.toFloat
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    i = 2
-    while (i < dim) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(i) = ((h >>> 40).toInt % 1000) / 1000.0f
-      i += 1
+  /** MJPEG-AVI decode via [[Avi.parse]] + per-frame ImageIO JPEG decode →
+    * [frames, width, height, fps, meanLum (all pixels, all frames), minLum,
+    * maxLum, motion, 0…] where motion = mean |Δ frame-mean-luminance| over
+    * successive frames. Every value is computed from really-decoded pixels;
+    * malformed containers throw, landing the row in the `ok=false` path. */
+  private[graft] def videoFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val p = Avi.parse(payload)
+    var sumL = 0.0; var nPix = 0L
+    var minL = Double.MaxValue; var maxL = Double.MinValue
+    val frameMeans = p.frames.map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      var s = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          s += lum
+          if (lum < minL) minL = lum
+          if (lum > maxL) maxL = lum
+          x += 1
+        }
+        y += 1
+      }
+      sumL += s; nPix += w.toLong * h
+      s / (w.toLong * h)
     }
-    out
+    val motion =
+      if (frameMeans.length < 2) 0.0
+      else frameMeans.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum / (frameMeans.length - 1)
+    pad(Seq(p.frames.length.toFloat, p.width.toFloat, p.height.toFloat, p.fps.toFloat,
+      (sumL / nPix).toFloat, minL.toFloat, maxL.toFloat, motion.toFloat), dim)
   }
 
   /**

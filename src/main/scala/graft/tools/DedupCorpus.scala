@@ -175,6 +175,19 @@ object DedupCorpus {
 
     def brute(docs: DataFrame): DataFrame =
       graft.ops.Ann.bruteTopK(docs, queries(docs), "doc_id", "vec", "doc_id", "vec", k = K)
+
+    // ---- IVF at its DESIGN POINT: nCells ≈ √n, so per-cell lists are
+    // ~√n and total cosine work per query is nProbe·√n — the dial the
+    // fixed-bits sign-LSH lacks (its lists grow ~n/2^bits at constant
+    // bits). This is the scale path the bench probes.
+    val IvfProbes = 8
+    def ivfCells(n: Long): Int = math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
+    def trainIvf(docs: DataFrame, n: Long): Array[Array[Double]] =
+      graft.ops.Ann.trainCentroids(docs, "doc_id", "vec", nCells = ivfCells(n),
+        sampleN = math.max(20000, ivfCells(n) * 40), iters = 5)
+    def ivf(docs: DataFrame, cents: Array[Array[Double]], nProbe: Int = IvfProbes): DataFrame =
+      graft.ops.Ann.ivfTopK(docs, queries(docs), "doc_id", "vec", "doc_id", "vec",
+        k = K, centroids = cents, nProbe = nProbe)
   }
 
   /** True exact-duplicate pair count outside the degenerate shard. */

@@ -68,6 +68,17 @@ class DedupSpec extends SparkTestBase {
     assert(nd.exists(_ > 0.5), s"near-dup jaccard: $nd")
   }
 
+  test("ngram jaccard: over-budget input throws before any cross join runs") {
+    val df = corpus(30)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(df, "id", "text", n = 3, threshold = 0.35, maxRows = 10)
+    }
+    assert(e.getMessage.contains("minhashNearDups"))
+    // raising the bound deliberately re-admits the same input
+    assert(Dedup.ngramJaccardPairs(df, "id", "text", n = 3, threshold = 0.35,
+      maxRows = 50).count() > 0)
+  }
+
   test("embedding near-dups: LSH path finds what exact path finds (high threshold)") {
     val spark0 = spark
     import spark0.implicits._

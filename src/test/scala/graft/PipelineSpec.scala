@@ -53,6 +53,23 @@ class PipelineSpec extends SparkTestBase {
     var third = 0
     mgr.runResumable(docs, "bucket", Seq(0, 1, 2, 3), df => { third += 1; process(df) })
     assert(third === 0)
+
+    // STAGING-COMMIT atomicity (r4 ask): a crash mid-lineage-write leaves
+    // torn bytes only in .lineage_staging — inject exactly that garbage and
+    // prove no reader ever sees it
+    val stag = new java.io.File(s"$root/.lineage_staging/crashed-batch")
+    assert(stag.mkdirs())
+    val torn = new java.io.FileOutputStream(s"$stag/part-00000-torn.snappy.parquet")
+    torn.write(Array[Byte](80, 65, 82, 49, 1, 2, 3)) // "PAR1" + truncated garbage
+    torn.close()
+    assert(mgr.committedBuckets(spark) === Set(0, 1, 2, 3)) // unpoisoned
+    var fourth = 0
+    mgr.runResumable(docs, "bucket", Seq(0, 1, 2, 3), df => { fourth += 1; process(df) })
+    assert(fourth === 0) // resume unaffected by the torn staging file
+    // every published lineage file is a complete single-file commit
+    val lineageFiles = new java.io.File(s"$root/lineage")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(lineageFiles.nonEmpty && lineageFiles.forall(_.getName.startsWith("commit-")))
   }
 
   test("checkpoint: sketch accumulators survive crash-resume and merge to the whole-run digest") {
@@ -423,6 +440,42 @@ class PipelineSpec extends SparkTestBase {
     assert(SpecJson.toJson(back.resolved) === SpecJson.toJson(spec.resolved))
   }
 
+  test("PUInt64: native array rules accept a user frame carrying uint64 as LongType") {
+    import graft.spec._
+    import org.apache.spark.sql.types.{ArrayType => AT, StructType => ST, StructField => SF, LongType => LT}
+    import scala.jdk.CollectionConverters._
+    val spec = Spec("u64l", Seq(
+      RecordDef("span", Seq(PField("u", PInt.uint64, Required))),
+      RecordDef("r", Seq(
+        PField("id", PInt.int64, Required),
+        PField("spans", TypeRef("span"), Repeated)))), "r")
+    val plan = SpecCompiler.compile(spec)
+    // the uint64 rule still rides the native program
+    assert(plan.violationCount.toString.toLowerCase.contains("structarrayrule"))
+    // user-built frame: u is a PHYSICAL long, not DecimalType(20,0) — the
+    // decimal rule must bind to a clamped long compare (x < 0), exactly
+    // what the generic decimal-literal promotion checked, not throw
+    val schema = ST(Seq(SF("id", LT), SF("spans", AT(ST(Seq(SF("u", LT)))))))
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, Seq(org.apache.spark.sql.Row(5L))),
+      org.apache.spark.sql.Row(2L, Seq(org.apache.spark.sql.Row(-1L))),   // < 0 → range
+      org.apache.spark.sql.Row(3L, Seq(org.apache.spark.sql.Row(Long.MaxValue))), // fits uint64
+      org.apache.spark.sql.Row(4L, Seq(org.apache.spark.sql.Row(null)))   // missing u
+    ).asJava, schema)
+    val out = df.select(org.apache.spark.sql.functions.col("id"), plan.violationCount,
+        (plan.violationCount === plan.violationCountGeneric).as("ceq"),
+        plan.violations)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 0L)
+    assert(out(2L).getLong(1) === 1L)
+    assert(out(3L).getLong(1) === 0L)
+    assert(out(4L).getLong(1) === 1L)
+    assert(out.values.forall(_.getBoolean(2)), out.values.mkString("; "))
+    // detail text renders the long value like the generic cast would
+    val d2 = out(2L).getSeq[org.apache.spark.sql.Row](3)
+    assert(d2.exists(v => v.getString(0) == "range:spans.u" && v.getString(2) == "-1"))
+  }
+
   test("float32 fields and the uint-as-Long fast flavor (SURVEY §1.2)") {
     val spark0 = spark
     import spark0.implicits._
@@ -488,8 +541,15 @@ class PipelineSpec extends SparkTestBase {
     assert(byRef("m-1").features(0) === 8000f)
     assert(byRef("m-1").features(1) === 1f)
     assert(byRef("m-1").features(2) === 24f)
-    // labeled video stub: frame count parsed from the container (id=2 → 27)
-    assert(byRef("m-2").features(0) === 27f)
+    // REAL MJPEG-AVI decode: id=2 → 2 + 2%6 = 4 frames of 24×20, 25 fps,
+    // all parsed from the RIFF tree and decoded JPEG-by-JPEG
+    assert(byRef("m-2").features(0) === 4f)
+    assert(byRef("m-2").features(1) === 24f && byRef("m-2").features(2) === 20f)
+    assert(byRef("m-2").features(3) === 25f)
+    // luminance from really-decoded pixels: mean within [min, max] ⊂ [0,255]
+    assert(byRef("m-2").features(5) >= 0f && byRef("m-2").features(6) <= 255f)
+    assert(byRef("m-2").features(4) >= byRef("m-2").features(5) &&
+      byRef("m-2").features(4) <= byRef("m-2").features(6))
     // poison payloads fail per-row, not per-task
     assert(!byRef("m-7").ok && !byRef("m-49").ok)
     // determinism: second run (different batch shape) identical checksums
@@ -505,7 +565,7 @@ class PipelineSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(perRef.nonEmpty)
     // each video contributes ceil(duration/5000) frames
-    val durs = media.where(col("mime") === "video/mp4")
+    val durs = media.where(col("mime") === "video/avi")
       .select("media_ref", "duration_ms").collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     durs.foreach { case (ref, d) =>
@@ -839,22 +899,34 @@ class PipelineSpec extends SparkTestBase {
     assert(rep("old_b") === ((0L, 2L)))
   }
 
-  test("XML strict scan: foreign root tag and namespace prefixes are not unknown elements") {
+  test("XML: foreign root ok; namespaces and attributes rejected like the reference") {
     import graft.spec._
     val spark0 = spark
     import spark0.implicits._
     val spec = Spec("x2", Seq(RecordDef("doc", Seq(
       PField("a", PString, Optional())))), "doc", strict = true)
     val rows = Seq(
-      "<record><a>hi</a></record>",        // root differs from rootTag param
-      "<value><ns:a>hi</ns:a></value>",    // prefixed known local name
-      "<record><zzz>1</zzz></record>")     // foreign root + truly unknown child
+      "<record><a>hi</a></record>",            // root differs from rootTag param
+      "<value><ns:a>hi</ns:a></value>",        // prefixed element name
+      "<record><zzz>1</zzz></record>",         // foreign root + truly unknown child
+      "<value xmlns=\"urn:x\"><a>hi</a></value>", // namespace declaration = attribute
+      "<value><a lang=\"en\">hi</a></value>",  // plain attribute
+      "<value><a>x = y</a></value>")           // '=' in TEXT must not false-positive
     val out = Convert.fromXml(rows.toDF("xml"), "xml", spec)
-      .select(col("_raw"), col("violations.rule")).collect()
-      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
-    assert(!out(rows(0)).contains("unknown-element"), out(rows(0)).toString)
-    assert(!out(rows(1)).contains("unknown-element"), out(rows(1)).toString)
-    assert(out(rows(2)).contains("unknown-element"))
+      .select(col("_raw"), col("violations.rule"), col("violations.detail")).collect()
+      .map(r => r.getString(0) -> ((r.getSeq[String](1), r.getSeq[String](2)))).toMap
+    assert(!out(rows(0))._1.contains("unknown-element"), out(rows(0)).toString)
+    // `piqi_xml.ml:129`: "namespaces are not allowed in XML element names"
+    assert(out(rows(1))._1.contains("xml-namespace"), out(rows(1)).toString)
+    assert(out(rows(1))._2.exists(_.contains("ns:a")), out(rows(1)).toString)
+    assert(!out(rows(1))._1.contains("unknown-element"), out(rows(1)).toString)
+    assert(out(rows(2))._1.contains("unknown-element"))
+    // `piqi_xml.ml:132`: "attributes are not allowed in XML elements"
+    assert(out(rows(3))._1.contains("xml-attribute"), out(rows(3)).toString)
+    assert(out(rows(4))._1.contains("xml-attribute"), out(rows(4)).toString)
+    assert(out(rows(4))._2.exists(_.contains("a")), out(rows(4)).toString)
+    assert(out(rows(5))._1.forall(r => r != "xml-attribute" && r != "xml-namespace"),
+      out(rows(5)).toString)
   }
 
   test("XML strict scan: known element in a WRONG POSITION is flagged (xpath count check)") {
@@ -885,6 +957,34 @@ class PipelineSpec extends SparkTestBase {
     assert(!out(rows(4))._1.contains("wrong-position-element"), out(rows(4)).toString)
     assert(out(rows(5))._1.contains("parse:xml"))
     assert(!out(rows(5))._1.contains("wrong-position-element"))
+  }
+
+  test("XML strict scan: DOCTYPE docs do not kill the xpath probe (secure-processing gap)") {
+    import graft.spec._
+    val spark0 = spark
+    import spark0.implicits._
+    val spec = Spec("x4", Seq(
+      RecordDef("inner", Seq(PField("b", PInt.int64, Optional()))),
+      RecordDef("doc", Seq(
+        PField("a", PString, Optional()),
+        PField("nested", TypeRef("inner"), Optional())))), "doc", strict = true)
+    val rows = Seq(
+      // DOCTYPE (with internal subset) + clean body: Spark's xpath would
+      // throw on the DTD under secure processing; stripped, it must probe
+      "<!DOCTYPE value [<!ELEMENT value ANY>]><value><a>hi</a></value>",
+      // DOCTYPE + a genuinely misplaced known element: still FLAGGED
+      "<!DOCTYPE value><value><b>1</b></value>",
+      // custom entity the (stripped) DTD defined: exempted, not a crash
+      "<!DOCTYPE value [<!ENTITY who \"world\">]><value><a>&who;</a></value>",
+      // predefined entities stay probed
+      "<value><a>a&amp;b</a></value>")
+    val out = Convert.fromXml(rows.toDF("xml"), "xml", spec)
+      .select(col("_raw"), col("violations.rule")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(!out(rows(0)).contains("wrong-position-element"), out(rows(0)).toString)
+    assert(out(rows(1)).contains("wrong-position-element"), out(rows(1)).toString)
+    assert(!out(rows(2)).contains("wrong-position-element"), out(rows(2)).toString)
+    assert(!out(rows(3)).contains("wrong-position-element"), out(rows(3)).toString)
   }
 
   test("nested scalar conversion failures surface as parse:value (raw-space probe)") {
@@ -921,5 +1021,51 @@ class PipelineSpec extends SparkTestBase {
       out(5L).toString)
     assert(out(6L).exists(_.contains("nested.deep_val")), out(6L).toString)
     assert(!out(7L).exists(_.startsWith("parse:value")), out(7L).toString)
+  }
+
+  test("quoted scalars: strict flags \"123\"-for-int at every level; non-strict plays relaxed") {
+    import graft.spec._
+    val spark0 = spark
+    import spark0.implicits._
+    def mkSpec(strict: Boolean) = Spec("q", Seq(
+      RecordDef("inner", Seq(
+        PField("deep_val", PInt.int32, Optional()),
+        PField("ratio", PFloat, Optional()),
+        PField("flag", PBool, Optional()))),
+      RecordDef("doc", Seq(
+        PField("id", PInt.int64, Required),
+        PField("nested", TypeRef("inner"), Optional()),
+        PField("nums", PInt.int64, Repeated)))), "doc", strict = strict)
+    val docs = Seq(
+      """{"id":1,"nested":{"deep_val":3,"ratio":1.5,"flag":true},"nums":[1,2]}""",
+      """{"id":2,"nested":{"deep_val":"3"}}""",   // QUOTED int (valid digits)
+      """{"id":3,"nested":{"ratio":"1.5"}}""",    // QUOTED float
+      """{"id":4,"nested":{"flag":"true"}}""",    // QUOTED bool
+      """{"id":5,"nums":[1,"2",3]}""",            // QUOTED array element
+      """{"id":6,"nested":{"deep_val":"x"}}""",   // garbage: raw probe's case
+      """{"id":7,"nums":[1,null,3]}""").toDF("json") // null element: legal
+    def run(strict: Boolean) = Convert.fromJson(docs, "json", mkSpec(strict))
+      .select(col("id"),
+        expr("transform(violations, v -> concat(v.rule, '@', v.path))").as("v"),
+        expr("size(filter(violations, v -> v.rule like 'parse:value%'))").as("npv"))
+      .collect().filterNot(_.isNullAt(0))
+      .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getInt(2)))).toMap
+    val st = run(strict = true)
+    assert(st(1L)._2 === 0, st(1L).toString)
+    // quoted scalars: flagged EXACTLY ONCE each (typed-parse probe; the
+    // raw-space probe stays quiet because the digits parse)
+    assert(st(2L)._1.exists(v => v.startsWith("parse:value@") && v.contains("nested.deep_val")) &&
+      st(2L)._2 === 1, st(2L).toString)
+    assert(st(3L)._1.exists(_.contains("nested.ratio")) && st(3L)._2 === 1, st(3L).toString)
+    assert(st(4L)._1.exists(_.contains("nested.flag")) && st(4L)._2 === 1, st(4L).toString)
+    assert(st(5L)._1.exists(v => v.startsWith("parse:value@") && v.contains("nums")) &&
+      st(5L)._2 === 1, st(5L).toString)
+    // garbage keeps exactly one violation too (probes are disjoint)
+    assert(st(6L)._1.exists(_.contains("nested.deep_val")) && st(6L)._2 === 1, st(6L).toString)
+    assert(st(7L)._2 === 0, st(7L).toString)
+    // non-strict ≡ the reference's relaxed mode: quoted accepted, garbage still caught
+    val rx = run(strict = false)
+    assert(rx(2L)._2 === 0 && rx(3L)._2 === 0 && rx(4L)._2 === 0 && rx(5L)._2 === 0)
+    assert(rx(6L)._2 === 1, rx(6L).toString)
   }
 }

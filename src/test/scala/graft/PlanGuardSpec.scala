@@ -111,6 +111,23 @@ class PlanGuardSpec extends SparkTestBase {
       s"lsh must hash-join on cell keys with broadcast queries:\n${lsh.take(3000)}")
     assert(!lsh.contains("CartesianProduct") && !lsh.contains("BroadcastNestedLoopJoin"),
       s"lsh path must not scan all docs per query:\n${lsh.take(3000)}")
+    // the final top-k must be the bounded-heap partial aggregation in EVERY
+    // ANN path — a window rank would shuffle every candidate to one reducer
+    // per query and sort it there; a plan-level Sort means the same thing
+    val cents = graft.ops.Ann.trainCentroids(docs, "id", "v", nCells = 8, sampleN = 200)
+    val ivf = physical(graft.ops.Ann.ivfTopK(docs, queries, "id", "v", "id", "v",
+      k = 5, centroids = cents, nProbe = 2))
+    for ((name, plan) <- Seq(("brute", brute), ("lsh", lsh), ("ivf", ivf))) {
+      assert(!plan.contains("Window"),
+        s"$name top-k must use the bounded-heap aggregator, not a window rank:\n${plan.take(3000)}")
+      assert(!plan.contains("Sort "),
+        s"$name top-k must not sort candidates:\n${plan.take(3000)}")
+      assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate")
+          || plan.contains("SortAggregate"),
+        s"$name top-k must be a partial-aggregable groupBy:\n${plan.take(3000)}")
+    }
+    assert(ivf.contains("BroadcastHashJoin") && !ivf.contains("CartesianProduct"),
+      s"ivf must hash-join on cell keys with broadcast queries:\n${ivf.take(3000)}")
   }
 
   test("precision-pin queries stay single-aggregate after their pair joins (no extra exchange)") {
