@@ -407,18 +407,41 @@ object Multimodal {
     val frameMeans = p.frames.map { img =>
       val (w, h) = (img.getWidth, img.getHeight)
       var s = 0.0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-          s += lum
-          if (lum < minL) minL = lum
-          if (lum > maxL) maxL = lum
-          x += 1
+      @inline def acc(r: Int, g: Int, b: Int): Unit = {
+        val lum = (r + g + b) / 3.0
+        s += lum
+        if (lum < minL) minL = lum
+        if (lum > maxL) maxL = lum
+      }
+      // same bulk Raster.getPixels fast path as imageFeatures (JPEG decodes
+      // to TYPE_3BYTE_BGR): per-pixel getRGB routes through ColorModel
+      // conversion and was the r3 m_features regression
+      val bulk = img.getType match {
+        case BufferedImage.TYPE_3BYTE_BGR | BufferedImage.TYPE_INT_RGB |
+             BufferedImage.TYPE_INT_BGR => img.getRaster.getNumBands == 3
+        case _ => false
+      }
+      if (bulk) {
+        val raster = img.getRaster
+        val row = new Array[Int](w * 3)
+        var y = 0
+        while (y < h) {
+          raster.getPixels(0, y, w, 1, row)
+          var i = 0
+          while (i < w * 3) { acc(row(i), row(i + 1), row(i + 2)); i += 3 }
+          y += 1
         }
-        y += 1
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            acc((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
       }
       sumL += s; nPix += w.toLong * h
       s / (w.toLong * h)

@@ -179,6 +179,31 @@ final case class Spec(
     })
   }
 
+  /**
+   * Include (piqi `include`, `doc/piqi.md:295-307`): splice another
+   * module's top-level entries — type defs, row rules, imports — into THIS
+   * module's unqualified namespace, "as if they were defined locally"
+   * (`expand_includes`, `piqilib/piqi.ml:1468-1479`). Unlike [[imports]]
+   * (namespaced under "mod/name"), included names arrive raw; a collision
+   * with a local def fails the normal duplicate-type-name check, matching
+   * the reference's post-expansion checks. Transitive includes are
+   * expanded by construction (the included Spec value has already spliced
+   * its own); include CYCLES — the reference's `is_being_processed` guard
+   * (`piqi.ml:1582-1593`) — cannot be expressed at all here, since a Spec
+   * value must exist before it can be included. The includer keeps its own
+   * module name, root, strictness, and maxDepth.
+   *
+   * This post-hoc form requires the receiver to already be a VALID module
+   * on its own (the constructor checks run before the splice). A module
+   * whose local defs reference included types — the common library-reuse
+   * shape — must expand includes at load time instead: [[Spec.including]],
+   * the `expand_includes`-during-`process_piqi` analog.
+   */
+  def includeModule(other: Spec): Spec =
+    copy(defs = defs ++ other.defs,
+      rowRules = rowRules ++ other.rowRules,
+      imports = imports ++ other.imports)
+
   /** Extension for enums: add options (piqi `extend` on enum, `doc/piqi.md:836-846`). */
   def extendEnum(enumName: String, options: String*): Spec = {
     require(defs.exists { case EnumDef(n, _) => n == enumName; case _ => false },
@@ -238,6 +263,24 @@ final case class Spec(
 object Spec {
   /** 2^64 − 1 (PUInt64 upper bound, `doc/piqi.md:345-347`). */
   val UInt64MaxInt: java.math.BigInteger = new java.math.BigInteger("18446744073709551615")
+
+  /**
+   * Load a module WITH includes expanded before validity checks run — the
+   * analog of `expand_includes` inside `process_piqi`
+   * (`piqilib/piqi.ml:1468-1479,1622-1633`): included modules' defs, row
+   * rules, and imports splice into the new module's unqualified namespace
+   * first, so local defs may freely reference included types. Collisions
+   * fail the normal duplicate-name check on construction.
+   */
+  def including(module: String, defs: Seq[TypeDef], root: String,
+      includes: Seq[Spec], rowRules: Seq[RowRule] = Nil,
+      imports: Seq[Spec] = Nil, strict: Boolean = false, maxDepth: Int = 4): Spec =
+    Spec(module,
+      defs ++ includes.flatMap(_.defs),
+      root,
+      rowRules ++ includes.flatMap(_.rowRules),
+      imports ++ includes.flatMap(_.imports),
+      strict, maxDepth)
 }
 
 /** Raised on structurally invalid specs — compile-time analog of piqi schema errors. */

@@ -77,4 +77,57 @@ class ExtensionSpec extends SparkTestBase {
     assert(out("b") === Set.empty)
     assert(out("c") === Set("at-most-one:xy"))
   }
+
+  test("A8: includeModule splices defs/rules/imports unqualified (doc/piqi.md:295-307)") {
+    // library module: a reusable enum + record, plus its own row rule
+    val lib = Spec("lib", Seq(
+      EnumDef("kind", Seq("text", "media")),
+      RecordDef("span", Seq(
+        PField("kind", TypeRef("kind"), Required),
+        PField("w", PInt(0, 100), Optional())))), "span")
+    // the includer references the included type UNQUALIFIED — as if local
+    val doc = Spec.including("doc", Seq(
+      RecordDef("doc", Seq(
+        PField("id", PString, Required),
+        PField("spans", TypeRef("span"), Repeated)))), "doc",
+      includes = Seq(lib))
+    assert(doc.module === "doc" && doc.root === "doc") // includer identity kept
+    assert(doc.defTable.contains("span") && doc.defTable.contains("kind"))
+    val plan = SpecCompiler.compile(doc)
+    val spanT = StructType(Seq(StructField("kind", StringType), StructField("w", LongType)))
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("spans", ArrayType(spanT))))
+    val df = spark.createDataFrame(Seq(
+      Row("a", Seq(Row("text", 5L))),
+      Row("b", Seq(Row("video", 5L))),   // not in the included enum
+      Row("c", Seq(Row("text", 500L)))   // included range violated
+    ).asJava, schema)
+    val out = ValidationRunner.validate(df, plan)
+      .select(col("id"), col("violations.rule")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(out("a") === Set.empty)
+    assert(out("b").exists(_.startsWith("unknown-enum")) || out("b").nonEmpty)
+    assert(out("c").exists(_.startsWith("range")), out("c").toString)
+  }
+
+  test("A8: included-name collisions fail the dup check; extension modules compose") {
+    val lib = Spec("lib", Seq(RecordDef("r", Seq(PField("a", PString, Required)))), "r")
+    // name collision with a local def → the reference's post-expansion dup error
+    intercept[SpecException] {
+      Spec("m", Seq(RecordDef("r", Seq(PField("b", PBool)))), "r").includeModule(lib)
+    }
+    // the extension-module pattern (doc/piqi.md:311-327): include a base
+    // module you cannot modify, then extend its defs as if local
+    val ext = Spec.including("m2", Seq(
+      RecordDef("top", Seq(PField("r", TypeRef("r"), Optional())))), "top",
+      includes = Seq(lib))
+      .extendRecord("r", PField("extra", PInt(0, 9), Optional()))
+    val fields = ext.defTable("r").asInstanceOf[RecordDef].fields.map(_.name)
+    assert(fields === Seq("a", "extra"))
+    // transitive include: C includes B includes A — all names visible raw
+    val c = Spec.including("c", Seq(RecordDef("croot", Seq(
+      PField("t", TypeRef("top"), Optional())))), "croot", includes = Seq(ext))
+    assert(c.defTable.keySet.intersect(Set("croot", "top", "r")) === Set("croot", "top", "r"))
+    SpecCompiler.compile(c): Unit // compiles end-to-end
+  }
 }
