@@ -381,6 +381,83 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /**
+   * Connected components over an undirected pair set — the step between
+   * "near-dup pairs found" and "corpus deduplicated": every node of a
+   * component gets the component's MINIMUM id as `label`, so
+   * `id === label` picks exactly one representative per cluster and
+   * everything else is the removal set.
+   *
+   * Iterative min-label propagation (the simple label-prop form of the
+   * MapReduce CC family — Kiveris et al., "Connected Components in
+   * MapReduce and Beyond", SoCC'14): each round every node takes the min
+   * of its own label and its neighbors' labels; converges in O(diameter)
+   * rounds. Near-dup graphs are unions of near-cliques (band collisions),
+   * so diameters are tiny — 2-4 rounds typical. `maxIter` bounds
+   * pathological chains and non-convergence FAILS LOUDLY: an unconverged
+   * labeling silently under-merges clusters, which a dedup must never do.
+   *
+   * Scale shape: per round one shuffle of the (cached, pre-partitioned)
+   * edge set against the current labels plus one label-vs-label equality
+   * count; state is (node, label) — two longs per node, never
+   * edge-quadratic, no driver-side graph. Returns (id, label) as an
+   * eagerly LOCAL-CHECKPOINTED frame: materialized once, lineage
+   * truncated (re-reading it never replays the rounds), and every
+   * intermediate cache entry released before returning — the operator
+   * leaves nothing pinned in the SQL cache manager.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
+      .union(pairs.select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
+      .repartition(col("src")).cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).cache()
+    var iter = 0
+    var converged = false
+    try {
+      while (!converged && iter < maxIter) {
+        val proposals = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
+        val next = labels.join(proposals, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .cache()
+        val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+          .where(col("label") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged) {
+        labels.unpersist() // cache hygiene holds on the failure path too
+        throw new IllegalArgumentException(
+          s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
+            "(component diameter exceeds the bound); an unconverged labeling under-merges")
+      }
+      val result = labels.localCheckpoint(true)
+      labels.unpersist()
+      result
+    } finally edges.unpersist(): Unit
+  }
+
+  /**
+   * Remove near-duplicates given their pair set: keep one representative
+   * (the minimum id) per connected component, plus every unpaired doc.
+   * The anti-join side is the REMOVAL set (paired non-representatives) —
+   * at real dup rates a few percent of the corpus, so AQE's broadcast
+   * decision usually makes this a map-side filter over the big table.
+   */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val removals = connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(removals, Seq(idCol), "left_anti")
+  }
+
   /** Exact brute-force embedding near-dups (oracle / small-N verification path). */
   def embeddingNearDupsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

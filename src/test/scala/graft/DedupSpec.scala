@@ -68,6 +68,34 @@ class DedupSpec extends SparkTestBase {
     assert(nd.exists(_ > 0.5), s"near-dup jaccard: $nd")
   }
 
+  test("connected components: transitive clusters get min-id labels; dedup keeps representatives") {
+    val spark0 = spark
+    import spark0.implicits._
+    // chain 1-2-3 (transitive, never a direct 1-3 pair), pair 10-11,
+    // duplicate+reversed edges, and a longer chain 20..24
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L), (2L, 1L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+    // non-convergence fails loudly instead of under-merging
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+    // dedupByPairs: one representative per cluster + all unpaired docs
+    val docs = (1L to 5L).union(Seq(10L, 11L, 30L)).toDF("id")
+      .withColumn("text", concat(lit("d"), col("id")))
+    val kept = Dedup.dedupByPairs(docs, "id",
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L, 10L, 30L))
+    // cache hygiene: nothing pinned in the SQL cache manager — success AND
+    // non-convergence paths both release every per-round cache entry
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connectedComponents left a DataFrame pinned in the cache manager")
+  }
+
   test("ngram jaccard: over-budget input throws before any cross join runs") {
     val df = corpus(30)
     val e = intercept[IllegalArgumentException] {
