@@ -184,14 +184,18 @@ object Bench {
     // count/label mismatch fails the bench loudly — this is the operator
     // that turns the pair counts above into an actual deduplicated corpus.
     var ccNodes = 0L; var ccComponents = 0L
+    // Materialize the pair set FIRST (outside the timer) so ccSec measures
+    // the clustering rounds, not a re-run of the minhash pair generator.
+    val ccPairs = graft.tools.DedupCorpus.Probe.minhash(spark.read.parquet(dedupPath))
+      .select(col("id_a"), col("id_b")).cache()
+    ccPairs.count(): Unit
     val ccSec = timeIt {
-      val pairs = graft.tools.DedupCorpus.Probe.minhash(spark.read.parquet(dedupPath))
-        .select(col("id_a"), col("id_b"))
-      val labels = graft.ops.Dedup.connectedComponents(pairs)
+      val labels = graft.ops.Dedup.connectedComponents(ccPairs)
       ccNodes = labels.count()
       ccComponents = labels.select(countDistinct(col("label"))).collect()(0).getLong(0)
       labels.unpersist(): Unit
     }
+    ccPairs.unpersist(): Unit
     // the 4-clique closed form needs complete blocks (n ≡ 0 mod 100);
     // a trailing partial cluster would make expectedPairs/6 inexact
     if (nDedup % 100 == 0) {

@@ -398,8 +398,10 @@ object Dedup {
    * labeling silently under-merges clusters, which a dedup must never do.
    *
    * Scale shape: per round one shuffle of the (cached, pre-partitioned)
-   * edge set against the current labels plus one label-vs-label equality
-   * count; state is (node, label) — two longs per node, never
+   * edge set against the current labels; convergence is read off the same
+   * materialization (prev label carried through the propagation join), so
+   * there is no extra per-round join or second action. State is
+   * (node, label) — two longs per node, never
    * edge-quadratic, no driver-side graph. Returns (id, label) as an
    * eagerly LOCAL-CHECKPOINTED frame: materialized once, lineage
    * truncated (re-reading it never replays the rounds), and every
@@ -412,8 +414,11 @@ object Dedup {
       .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
       .union(pairs.select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
       .repartition(col("src")).cache()
-    var labels = edges.select(col("src").as("id")).distinct()
+    // `cached` is the frame actually holding cache blocks (labels may be a
+    // projection of it — unpersisting the projection would leak the blocks).
+    var cached = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).cache()
+    var labels = cached
     var iter = 0
     var converged = false
     try {
@@ -421,25 +426,30 @@ object Dedup {
         val proposals = edges
           .join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
-        val next = labels.join(proposals, Seq("id"), "left")
+        // Carry the previous label through the propagation join so
+        // convergence is read off the SAME materialization (one count
+        // action doubles as the cache fill) — no per-round extra join.
+        val next = labels.withColumnRenamed("label", "prev")
+          .join(proposals, Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+            least(col("prev"), coalesce(col("nbr"), col("prev"))).as("label"),
+            col("prev"))
           .cache()
-        val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-          .where(col("label") =!= col("prev")).count()
-        labels.unpersist()
-        labels = next
+        val changed = next.where(col("label") =!= col("prev")).count()
+        cached.unpersist()
+        cached = next
+        labels = next.select(col("id"), col("label"))
         converged = changed == 0
         iter += 1
       }
       if (!converged) {
-        labels.unpersist() // cache hygiene holds on the failure path too
+        cached.unpersist() // cache hygiene holds on the failure path too
         throw new IllegalArgumentException(
           s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
             "(component diameter exceeds the bound); an unconverged labeling under-merges")
       }
       val result = labels.localCheckpoint(true)
-      labels.unpersist()
+      cached.unpersist()
       result
     } finally edges.unpersist(): Unit
   }
