@@ -401,12 +401,18 @@ object Dedup {
    * edge set against the current labels; convergence is read off the same
    * materialization (prev label carried through the propagation join), so
    * there is no extra per-round join or second action. State is
-   * (node, label) — two longs per node, never
-   * edge-quadratic, no driver-side graph. Returns (id, label) as an
-   * eagerly LOCAL-CHECKPOINTED frame: materialized once, lineage
-   * truncated (re-reading it never replays the rounds), and every
-   * intermediate cache entry released before returning — the operator
-   * leaves nothing pinned in the SQL cache manager.
+   * (node, label) — two longs per node, never edge-quadratic, no
+   * driver-side graph. Each round's labels are eagerly LOCAL-CHECKPOINTED,
+   * not cached: the checkpoint's one job doubles as the materializing
+   * action AND truncates lineage, keeping the logical plan CONSTANT-DEPTH
+   * across rounds — with cache() the plan tree still grows every
+   * iteration (cache cuts execution, not the plan), and a long-diameter
+   * run OOMs the DRIVER in Catalyst before data size ever matters.
+   * Superseded round blocks are dropped when their RDDs are GC'd
+   * (ContextCleaner); at most a couple of (node,label) rounds are live,
+   * and checkpoint storage spills to disk rather than OOM. Returns
+   * (id, label) backed by the final round's checkpoint; nothing is left
+   * pinned in the SQL cache manager.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
@@ -414,11 +420,8 @@ object Dedup {
       .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
       .union(pairs.select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
       .repartition(col("src")).cache()
-    // `cached` is the frame actually holding cache blocks (labels may be a
-    // projection of it — unpersisting the projection would leak the blocks).
-    var cached = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).cache()
-    var labels = cached
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
     var iter = 0
     var converged = false
     try {
@@ -427,31 +430,102 @@ object Dedup {
           .join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
         // Carry the previous label through the propagation join so
-        // convergence is read off the SAME materialization (one count
-        // action doubles as the cache fill) — no per-round extra join.
+        // convergence is read off the SAME materialization (the eager
+        // checkpoint job) — no per-round extra join.
         val next = labels.withColumnRenamed("label", "prev")
           .join(proposals, Seq("id"), "left")
           .select(col("id"),
             least(col("prev"), coalesce(col("nbr"), col("prev"))).as("label"),
             col("prev"))
-          .cache()
+          .localCheckpoint(true)
         val changed = next.where(col("label") =!= col("prev")).count()
-        cached.unpersist()
-        cached = next
         labels = next.select(col("id"), col("label"))
         converged = changed == 0
         iter += 1
       }
       if (!converged) {
-        cached.unpersist() // cache hygiene holds on the failure path too
         throw new IllegalArgumentException(
           s"connectedComponents did not converge in $maxIter rounds — raise maxIter " +
             "(component diameter exceeds the bound); an unconverged labeling under-merges")
       }
-      val result = labels.localCheckpoint(true)
-      cached.unpersist()
-      result
+      labels
     } finally edges.unpersist(): Unit
+  }
+
+  /**
+   * Connected components via alternating large-star / small-star rounds —
+   * the UNBOUNDED-DIAMETER scale path. [[connectedComponents]]'s label
+   * propagation needs O(diameter) rounds, which is fine for near-dup
+   * graphs (band-collision near-cliques, diameter 2-4) but collapses on
+   * drift chains: a corpus where doc i is near-dup of doc i+1 without
+   * i ~ i+2 yields a path graph whose diameter is the chain length.
+   * This form (Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii,
+   * "Connected Components in MapReduce and Beyond", SoCC'14) converges
+   * in O(log² n) rounds on ANY graph, and the paper proves the edge set
+   * never grows across rounds — per-round cost is bounded by the input.
+   *
+   *  - large-star: each node u connects every strictly-larger neighbor
+   *    to m = min(N(u) ∪ {u}). Emitted once per undirected edge (at its
+   *    smaller endpoint's group), so no edge inflation.
+   *  - small-star: orient edges toward the larger endpoint; each node u
+   *    connects its smaller neighbors and itself to their minimum.
+   *
+   * Fixpoint = the edge set is unchanged (then it is a union of stars
+   * centered at component minima). The cheap necessary condition (edge
+   * count unchanged) gates the exact set-equality check, so most rounds
+   * cost one action. Rounds are eagerly local-checkpointed, not cached —
+   * constant-depth plan across rounds (see [[connectedComponents]] for
+   * why cache() alone OOMs the driver on long iterations). Same contract:
+   * returns (id, label=component min) for every id appearing in `pairs`,
+   * loud failure if `maxIter` is exceeded, nothing pinned in the SQL
+   * cache manager.
+   */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(aCol).cast(LongType).as("id"))
+      .union(pairs.select(col(bCol).cast(LongType).as("id"))).distinct()
+    var edges = pairs
+      .select(col(aCol).cast(LongType).as("p"), col(bCol).cast(LongType).as("q"))
+      .where(col("p") =!= col("q")).distinct().localCheckpoint(true)
+    var edgeCnt = edges.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: group the symmetric adjacency by u, take the min
+      // neighbor, re-point every larger neighbor at least(u, minNbr).
+      val sym = edges.union(edges.select(col("q").as("p"), col("p").as("q")))
+        .toDF("u", "v")
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      val afterLarge = sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("p"), least(col("u"), col("mn")).as("q"))
+        .where(col("p") =!= col("q")).distinct()
+      // small-star: orient toward the larger endpoint; point each
+      // group's smaller neighbors AND the center at the group minimum.
+      val oriented = afterLarge.select(
+        greatest(col("p"), col("q")).as("u"), least(col("p"), col("q")).as("v"))
+      val mins2 = oriented.groupBy("u").agg(min(col("v")).as("mn"))
+      val next = oriented.join(mins2, "u")
+        .select(col("v").as("p"), col("mn").as("q"))
+        .union(mins2.select(col("u").as("p"), col("mn").as("q")))
+        .where(col("p") =!= col("q")).distinct().localCheckpoint(true)
+      val nextCnt = next.count()
+      // count parity is necessary for a fixpoint; only then pay the
+      // exact set-equality probe (both sides checkpointed + distinct).
+      converged = nextCnt == edgeCnt && next.except(edges).count() == 0
+      edges = next
+      edgeCnt = nextCnt
+      iter += 1
+    }
+    if (!converged) {
+      throw new IllegalArgumentException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "raise maxIter; an unconverged labeling under-merges")
+    }
+    // At fixpoint every edge is (member, componentMin). Nodes that lost
+    // all edges (self-pairs only) label themselves.
+    nodes.join(edges.select(col("p").as("id"), col("q").as("lb")), Seq("id"), "left")
+      .groupBy("id").agg(min(coalesce(col("lb"), col("id"))).as("label"))
+      .localCheckpoint(true)
   }
 
   /**

@@ -96,6 +96,48 @@ class DedupSpec extends SparkTestBase {
       "connectedComponents left a DataFrame pinned in the cache manager")
   }
 
+  test("large-star/small-star components == label propagation; converges on deep chains") {
+    val spark0 = spark
+    import spark0.implicits._
+    // same mixed graph as the LP test — labels must be identical
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L), (2L, 1L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+    // drift chain: a 4096-node path graph has diameter 4095 — label
+    // propagation's O(diameter) rounds blow any sane bound, while the
+    // star rounds converge in O(log² n); this is the scale path's reason
+    // to exist. Shift ids so min-id is NOT an endpoint (label must still
+    // be the component min, found mid-chain).
+    val n = 4096
+    val chain = (0 until n - 1).map(i => (((i + 7) % n).toLong, ((i + 8) % n).toLong))
+      .toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 25)
+    }
+    val chainLabels = Dedup.connectedComponentsStar(chain)
+    assert(chainLabels.count() === n.toLong)
+    assert(chainLabels.select(countDistinct(col("label"))).head().getLong(0) === 1L)
+    assert(chainLabels.agg(max(col("label"))).head().getLong(0) === 0L)
+    // self-pair-only node labels itself; empty input yields empty labels
+    val selfOnly = Dedup.connectedComponentsStar(Seq((5L, 5L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfOnly === Map(5L -> 5L))
+    // equivalence on a random graph (both algorithms, same labeling)
+    val rnd = new scala.util.Random(42)
+    val rndPairs = (0 until 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .toDF("id_a", "id_b")
+    val lp = Dedup.connectedComponents(rndPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = Dedup.connectedComponentsStar(rndPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st === lp)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connectedComponentsStar left a DataFrame pinned in the cache manager")
+  }
+
   test("ngram jaccard: over-budget input throws before any cross join runs") {
     val df = corpus(30)
     val e = intercept[IllegalArgumentException] {
