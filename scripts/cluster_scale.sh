@@ -1,0 +1,98 @@
+#!/bin/bash
+# Standalone-cluster scaling run: the north rule's "N and 4N executors",
+# run for real via spark-submit against a local standalone cluster.
+#
+# Topology: 1 master + 4 workers on this 32-core box, each worker pinned
+# to a DISJOINT 8-core set with taskset (executor JVMs inherit the
+# affinity), spark.executor.cores=8 so allocation granularity is whole
+# workers:
+#   N  = spark.cores.max=8   -> 1 executor  (one 8-core JVM)
+#   4N = spark.cores.max=32  -> 4 executors (four 8-core JVMs)
+# Executors are separate JVMs with private heaps/GC; shuffle crosses
+# process boundaries through netty — unlike local[N], this is the real
+# multi-executor execution shape, as faithful as one box allows.
+#
+# Protocol: submissions interleave widths (N, 4N, N, 4N) so both sizes
+# sample the same host-noise windows; each submission warms up then takes
+# best-of-3 in-JVM; the reporter takes the min across same-width
+# submissions and writes BENCH/bench_r5_cluster_<mode>.json.
+#
+# Usage: scripts/cluster_scale.sh [validate|dedup] [docs]
+set -e
+cd "$(dirname "$0")/.."
+MODE=${1:-validate}
+DOCS=${2:-16000000}
+LOGD=/tmp/graft_cluster
+mkdir -p "$LOGD"
+export SPARK_LOCAL_IP=127.0.0.1
+# shuffle + block files on the ramdisk, matching the local[N] protocols
+LOCAL_DIRS=/dev/shm/graft-cluster
+mkdir -p "$LOCAL_DIRS"
+
+sbt -batch package > "$LOGD/package.log" 2>&1
+JAR=$(ls target/scala-2.13/piqispark*.jar | head -1)
+
+cleanup() {
+  pkill -f 'deploy.master.Master' 2>/dev/null || true
+  pkill -f 'deploy.worker.Worker' 2>/dev/null || true
+}
+trap cleanup EXIT
+cleanup; sleep 2
+
+/opt/spark/bin/spark-class org.apache.spark.deploy.master.Master \
+  --host 127.0.0.1 --port 7077 --webui-port 8090 > "$LOGD/master.log" 2>&1 &
+sleep 6
+for i in 0 1 2 3; do
+  lo=$((i*8)); hi=$((i*8+7))
+  SPARK_LOCAL_DIRS=$LOCAL_DIRS taskset -c "$lo-$hi" \
+    /opt/spark/bin/spark-class org.apache.spark.deploy.worker.Worker \
+    spark://127.0.0.1:7077 --cores 8 --memory 16g \
+    --work-dir "/tmp/graft_worker_$i" --webui-port $((8091+i)) \
+    > "$LOGD/worker_$i.log" 2>&1 &
+done
+sleep 8
+grep -c 'Registering worker' "$LOGD/master.log" || true
+
+submit() { # $1=cores_max $2=shuffle_partitions $3=outJson
+  /opt/spark/bin/spark-submit --master spark://127.0.0.1:7077 \
+    --class graft.tools.ClusterBench \
+    --driver-memory 4g \
+    --conf spark.executor.cores=8 --conf spark.executor.memory=12g \
+    --conf spark.cores.max="$1" --conf spark.sql.shuffle.partitions="$2" \
+    --conf spark.local.dir="$LOCAL_DIRS" \
+    --conf spark.ui.enabled=false \
+    "$JAR" "$MODE" "$DOCS" "$3" > "$LOGD/submit_${1}_$(basename "$3" .json).log" 2>&1
+  grep -o '{.*}' "$3"; echo
+}
+
+submit 8  8  "$LOGD/n1_a.json"
+submit 32 32 "$LOGD/n4_a.json"
+submit 8  8  "$LOGD/n1_b.json"
+submit 32 32 "$LOGD/n4_b.json"
+
+python3 - "$MODE" "$LOGD" <<'EOF'
+import json, sys
+mode, logd = sys.argv[1], sys.argv[2]
+def best(*ps):
+    rs = [json.load(open(p)) for p in ps]
+    return min(rs, key=lambda r: r["sec"])
+n1 = best(f"{logd}/n1_a.json", f"{logd}/n1_b.json")
+n4 = best(f"{logd}/n4_a.json", f"{logd}/n4_b.json")
+assert n1["executors"] == 1, f"N run got {n1['executors']} executors, want 1"
+assert n4["executors"] == 4, f"4N run got {n4['executors']} executors, want 4"
+eff = (n4["docs_per_sec"] / n1["docs_per_sec"]) / 4
+out = {
+    "protocol": ("standalone cluster on one 32-core box: 4 workers pinned to "
+                 "disjoint 8-core sets (taskset), spark-submit, executor.cores=8; "
+                 "N=1 executor (cores.max=8) vs 4N=4 executors (cores.max=32); "
+                 "interleaved submissions, best-of-3 in-JVM, min across submissions"),
+    "mode": mode, "n1": n1, "n4": n4, "scaling_efficiency": eff,
+}
+if "control_docs_per_sec" in n1 and "control_docs_per_sec" in n4:
+    out["control_scaling_efficiency"] = (
+        n4["control_docs_per_sec"] / n1["control_docs_per_sec"]) / 4
+path = f"BENCH/bench_r5_cluster_{mode}.json"
+json.dump(out, open(path, "w"), indent=1)
+print(f"\n== {mode}: N={n1['docs_per_sec']:.0f} docs/s (1 executor), "
+      f"4N={n4['docs_per_sec']:.0f} docs/s (4 executors), efficiency={eff:.3f} -> {path}")
+EOF

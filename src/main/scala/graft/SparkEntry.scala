@@ -295,6 +295,25 @@ object SparkEntry {
       graft.ops.Dedup.connectedComponentsStar(verified).orderBy("id")
     }),
 
+    // the full near-dup dedup materialization: pairs -> components ->
+    // keep one representative (min id) per cluster + every unpaired doc.
+    // Same provable-recall verified pair set as d_components, so the kept
+    // set is the SQL-expressible "min doc_id per equal-word-set group".
+    "d_neardup_keep" -> ((s, dir) => {
+      val withDups = dupCorpus(s, dir).where(col("doc_id") < 1000 || col("doc_id") >= 100000)
+      val cands = graft.ops.Dedup.minhashNearDups(withDups, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleSize = 1, threshold = 1.0)
+      val toks = withDups.select(col("doc_id"),
+        array_sort(array_distinct(graft.functions.Text.tokens(col("text")))).as("tk"))
+      val verified = cands
+        .join(toks.select(col("doc_id").as("id_a"), col("tk").as("tk_a")), "id_a")
+        .join(toks.select(col("doc_id").as("id_b"), col("tk").as("tk_b")), "id_b")
+        .where(col("tk_a") === col("tk_b"))
+        .select("id_a", "id_b")
+      graft.ops.Dedup.dedupByPairs(withDups, "doc_id", verified)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // the approximate near-dup behavior itself (threshold on signature
     // similarity — not SQL-expressible; recall covered by DedupSpec)
     "d_minhash_near" -> ((s, dir) => {
@@ -887,6 +906,17 @@ object SparkEntry {
         |   count(*) OVER (PARTITION BY key) AS sz FROM tk)
         | SELECT CAST(doc_id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
         | FROM lab WHERE sz > 1 ORDER BY id""".stripMargin.replace("\n", " "),
+
+    // kept set = exactly the per-word-set-group minima (singleton groups
+    // keep their only member): doc_id == min over the group
+    "d_neardup_keep" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        | tk AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS key FROM corpus),
+        | lab AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS label FROM tk)
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id
+        | FROM lab WHERE doc_id = label ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "d_components_star" ->
       """WITH corpus AS (
