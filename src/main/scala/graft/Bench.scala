@@ -195,7 +195,19 @@ object Bench {
       ccComponents = labels.select(countDistinct(col("label"))).collect()(0).getLong(0)
       labels.unpersist(): Unit
     }
+    // same pair set through the O(log² n)-round large-star/small-star path
+    // (the unbounded-diameter algorithm) — must produce the identical
+    // clustering; timed for the LP-vs-star comparison in the artifact
+    var ccStarNodes = 0L; var ccStarComponents = 0L
+    val ccStarSec = timeIt {
+      val labels = graft.ops.Dedup.connectedComponentsStar(ccPairs)
+      ccStarNodes = labels.count()
+      ccStarComponents = labels.select(countDistinct(col("label"))).collect()(0).getLong(0)
+      labels.unpersist(): Unit
+    }
     ccPairs.unpersist(): Unit
+    require(ccStarNodes == ccNodes && ccStarComponents == ccComponents,
+      s"star components ($ccStarNodes, $ccStarComponents) != label-prop ($ccNodes, $ccComponents)")
     // the 4-clique closed form needs complete blocks (n ≡ 0 mod 100);
     // a trailing partial cluster would make expectedPairs/6 inexact
     if (nDedup % 100 == 0) {
@@ -204,7 +216,7 @@ object Bench {
         s"connected components mismatch: got ($ccNodes nodes, $ccComponents comps), " +
           s"expected (${4 * expComponents}, $expComponents)")
     }
-    System.err.println(f"[bench] cc: $ccNodes nodes -> $ccComponents components in $ccSec%.2f s")
+    System.err.println(f"[bench] cc: $ccNodes nodes -> $ccComponents components in $ccSec%.2f s (LP) / $ccStarSec%.2f s (star)")
 
     System.err.println(f"[bench] dedup: 8-wide ${dedup8}%.0f docs/s, $cpus-wide ${dedupFull}%.0f docs/s, " +
       f"eff=$dedupEfficiency%.2f (compute-control eff=$dedupComputeEfficiency%.2f); " +
@@ -331,7 +343,7 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsMed = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":${tFull.min},"validate_docs_per_sec":$thrFull,"validate_docs_per_sec_8wide":$thr8,"scaling_efficiency_8_to_$cpus":$efficiency,"gen_control_docs_per_sec":$genFull,"gen_control_docs_per_sec_8wide":$gen8,"gen_control_scaling_efficiency":$genEfficiency,"dedup_docs":$nDedup,"dedup_docs_per_sec":$dedupFull,"dedup_docs_per_sec_8wide":$dedup8,"dedup_scaling_efficiency":$dedupEfficiency,"dedup_compute_docs_per_sec":$dedupComputeFull,"dedup_compute_docs_per_sec_8wide":$dedupCompute8,"dedup_compute_scaling_efficiency":$dedupComputeEfficiency,"dedup_minhash_pairs":${dedupPairs._1},"dedup_expected_cluster_pairs":$expectedPairs,"dedup_simhash_pairs":${dedupPairs._2},"cc_nodes":$ccNodes,"cc_components":$ccComponents,"cc_sec":$ccSec,"ann_docs":$nAnn,"ann_docs_per_sec":$annFull,"ann_docs_per_sec_8wide":$ann8,"ann_scaling_efficiency":$annEfficiency,"ann_recall":$annRecall,"ann_k":${graft.tools.DedupCorpus.AnnProbe.K},"ivf_cells":$ivfCells,"ivf_nprobe":${graft.tools.DedupCorpus.AnnProbe.IvfProbes},"ivf_train_sec":$ivfTrainSec,"ivf_docs_per_sec":$ivfFull,"ivf_docs_per_sec_8wide":$ivf8,"ivf_scaling_efficiency":$ivfEfficiency,"ivf_recall":$ivfRecall,"ivf_nprobe_recall":${ivfSweep.map { case (p, r) => "\"" + p + "\":" + r }.mkString("{", ",", "}")},"host_steal_pct":$stealPct,"trials":3,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","validate_docs":$nDocs,"validate_sec":${tFull.min},"validate_docs_per_sec":$thrFull,"validate_docs_per_sec_8wide":$thr8,"scaling_efficiency_8_to_$cpus":$efficiency,"gen_control_docs_per_sec":$genFull,"gen_control_docs_per_sec_8wide":$gen8,"gen_control_scaling_efficiency":$genEfficiency,"dedup_docs":$nDedup,"dedup_docs_per_sec":$dedupFull,"dedup_docs_per_sec_8wide":$dedup8,"dedup_scaling_efficiency":$dedupEfficiency,"dedup_compute_docs_per_sec":$dedupComputeFull,"dedup_compute_docs_per_sec_8wide":$dedupCompute8,"dedup_compute_scaling_efficiency":$dedupComputeEfficiency,"dedup_minhash_pairs":${dedupPairs._1},"dedup_expected_cluster_pairs":$expectedPairs,"dedup_simhash_pairs":${dedupPairs._2},"cc_nodes":$ccNodes,"cc_components":$ccComponents,"cc_sec":$ccSec,"cc_star_sec":$ccStarSec,"ann_docs":$nAnn,"ann_docs_per_sec":$annFull,"ann_docs_per_sec_8wide":$ann8,"ann_scaling_efficiency":$annEfficiency,"ann_recall":$annRecall,"ann_k":${graft.tools.DedupCorpus.AnnProbe.K},"ivf_cells":$ivfCells,"ivf_nprobe":${graft.tools.DedupCorpus.AnnProbe.IvfProbes},"ivf_train_sec":$ivfTrainSec,"ivf_docs_per_sec":$ivfFull,"ivf_docs_per_sec_8wide":$ivf8,"ivf_scaling_efficiency":$ivfEfficiency,"ivf_recall":$ivfRecall,"ivf_nprobe_recall":${ivfSweep.map { case (p, r) => "\"" + p + "\":" + r }.mkString("{", ",", "}")},"host_steal_pct":$stealPct,"trials":3,"cpus":$cpus}""")
     spark.stop()
   }
 }
