@@ -229,12 +229,19 @@ object Bench {
     // the operator under test).
     val nAnn = sys.env.getOrElse("SPARK_GRAFT_ANN_DOCS", "100000").toLong
     val annPath = graft.tools.DedupCorpus.ensureAnn(spark, nAnn)
+    // ANN legs REPARTITION to exactly `width` tasks (tiny shuffle, paid
+    // symmetrically by both legs): the queries are broadcast, so ALL
+    // cosine work runs in the scan stage — and the small ANN parquet
+    // bin-packs to ~10 splits, which starved the full-width leg to ~10
+    // active cores and capped measured efficiency at ~10/32 regardless
+    // of the host window (r4's ANN "inefficiency" was this probe
+    // artifact, not the operator).
     def annAll(width: Int): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions",
         if (width > 0) width.toString else cpus)
       try {
-        val base = spark.read.parquet(annPath)
-        val docs = if (width > 0) base.coalesce(width) else base
+        val docs = spark.read.parquet(annPath)
+          .repartition(if (width > 0) width else cpus.toInt)
         graft.tools.DedupCorpus.AnnProbe.lsh(docs).count(): Unit
       } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
@@ -283,8 +290,8 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions",
         if (width > 0) width.toString else cpus)
       try {
-        val base = spark.read.parquet(annPath)
-        val docs = if (width > 0) base.coalesce(width) else base
+        val docs = spark.read.parquet(annPath)
+          .repartition(if (width > 0) width else cpus.toInt) // see annAll
         graft.tools.DedupCorpus.AnnProbe.ivf(docs, ivfCents).count(): Unit
       } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
