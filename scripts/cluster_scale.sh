@@ -60,6 +60,8 @@ submit() { # $1=cores_max $2=shuffle_partitions $3=outJson
     --conf spark.executor.cores=8 --conf spark.executor.memory=12g \
     --conf spark.cores.max="$1" --conf spark.sql.shuffle.partitions="$2" \
     --conf spark.local.dir="$LOCAL_DIRS" \
+    --conf spark.sql.files.maxPartitionBytes=8m \
+    --conf spark.sql.files.openCostInBytes=1m \
     --conf spark.ui.enabled=false \
     "$JAR" "$MODE" "$DOCS" "$3" > "$LOGD/submit_${1}_$(basename "$3" .json).log" 2>&1
   grep -o '{.*}' "$3"; echo
