@@ -529,14 +529,33 @@ object Dedup {
   }
 
   /**
+   * Auto-dispatching components: label propagation first with a SMALL
+   * round bound (near-dup graphs are near-cliques — 2-4 rounds typical,
+   * and LP's per-round cost is lower than a star round), falling back to
+   * [[connectedComponentsStar]] when the bound trips (deep drift chains).
+   * The wasted LP rounds are `lpRounds` cheap label joins — insurance
+   * priced at a few scans of the (node,label) state, never quadratic.
+   */
+  def connectedComponentsAuto(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", lpRounds: Int = 8): DataFrame =
+    try connectedComponents(pairs, aCol, bCol, maxIter = lpRounds)
+    catch {
+      case _: IllegalArgumentException =>
+        connectedComponentsStar(pairs, aCol, bCol)
+    }
+
+  /**
    * Remove near-duplicates given their pair set: keep one representative
    * (the minimum id) per connected component, plus every unpaired doc.
    * The anti-join side is the REMOVAL set (paired non-representatives) —
    * at real dup rates a few percent of the corpus, so AQE's broadcast
    * decision usually makes this a map-side filter over the big table.
+   * Components come from [[connectedComponentsAuto]], so a pathological
+   * pair set (drift chains) degrades to more rounds, never to a wrong
+   * or failed labeling.
    */
   def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val removals = connectedComponents(pairs)
+    val removals = connectedComponentsAuto(pairs)
       .where(col("id") =!= col("label"))
       .select(col("id").as(idCol))
     df.join(removals, Seq(idCol), "left_anti")

@@ -136,6 +136,19 @@ class DedupSpec extends SparkTestBase {
     assert(st === lp)
     assert(spark.sharedState.cacheManager.isEmpty,
       "connectedComponentsStar left a DataFrame pinned in the cache manager")
+    // auto-dispatch: LP answers clique graphs; a deep chain trips LP's
+    // bound and silently falls through to star — same labels either way
+    val autoClique = Dedup.connectedComponentsAuto(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(autoClique === star)
+    val autoChain = Dedup.connectedComponentsAuto(chain)
+    assert(autoChain.count() === n.toLong)
+    assert(autoChain.agg(max(col("label"))).head().getLong(0) === 0L)
+    // dedupByPairs survives a drift-chain pair set (keeps only node 0)
+    val chainDocs = (0L until n.toLong).toDF("id")
+      .withColumn("text", concat(lit("d"), col("id")))
+    val keptChain = Dedup.dedupByPairs(chainDocs, "id", chain)
+    assert(keptChain.count() === 1L)
   }
 
   test("ngram jaccard: over-budget input throws before any cross join runs") {
