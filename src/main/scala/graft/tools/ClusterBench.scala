@@ -121,7 +121,26 @@ object ClusterBench {
         val expected = DedupCorpus.expectedClusterPairs(nDocs)
         require(pairs._1 == expected && pairs._2 == expected,
           s"pair counts ${pairs} != expected $expected — wrong results disqualify the timing")
-        (trials, s""","minhash_pairs":${pairs._1},"simhash_pairs":${pairs._2},"expected_cluster_pairs":$expected""")
+        // dedup COMPUTE control (same as graft.Bench's in-JVM probe): the
+        // scan + shingle + signature leg reduced to one aggregate — zero
+        // wide-shuffle bytes, pure codegen. Its paired-run efficiency is
+        // the window's compute/bandwidth ceiling, recorded so a dedup
+        // cluster artifact certifies its own window quality like the
+        // validate mode does.
+        import org.apache.spark.sql.functions.{col, element_at, sum}
+        def ctrlJob(): Unit = {
+          spark.read.parquet(path)
+            .select(graft.functions.HashExpressions.minhashSignatureNative(
+                graft.ops.Dedup.shingleHashes(col("text"), 3),
+                DedupCorpus.Probe.NumHashes).as("sig"))
+            .select(element_at(col("sig"), 1).as("s1"))
+            .agg(sum("s1")).collect(): Unit
+        }
+        ctrlJob() // warm-up
+        val ctrl = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); ctrlJob(); (System.nanoTime() - t0) / 1e9
+        }.min
+        (trials, s""","minhash_pairs":${pairs._1},"simhash_pairs":${pairs._2},"expected_cluster_pairs":$expected,"control_sec":$ctrl,"control_docs_per_sec":${nDocs / ctrl}""")
     }
 
     // prove the topology in-artifact: executor JVMs actually granted
