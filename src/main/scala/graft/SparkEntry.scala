@@ -470,6 +470,30 @@ object SparkEntry {
         .toDF("recall_floor_met", "has_rows")
     }),
 
+    // ORACLED recall pin for the PQ compressed-domain path (product
+    // quantization, Jégou et al. TPAMI'11): m=8 subquantizers over the
+    // 64-dim embeddings (8 small ints per doc vs 256 B of floats — the
+    // memory/scan-bandwidth dial at 10^12 docs), ADC scan + exact re-rank
+    // of the ADC top-25. Training is deterministic (same hash-ordered
+    // sampling + Lloyd's as IVF), so the pin is stable.
+    "s_ann_pq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "embeddings")
+      val queries = docs.where(col("vec_id") < 20)
+      val model = graft.ops.Pq.train(docs, "vec_id", "embedding", m = 8, iters = 10)
+      val pq = graft.ops.Pq.topK(docs, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, model, rerank = 25)
+        .select("query_id", "neighbor_id")
+      val brute = graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val total = brute.count()
+      val matched = pq.join(brute, Seq("query_id", "neighbor_id")).count()
+      val recall = if (total == 0) 0.0 else matched.toDouble / total
+      Seq(((if (recall >= 0.9) 1L else 0L), (if (total > 0) 1L else 0L)))
+        .toDF("recall_floor_met", "has_rows")
+    }),
+
     // ORACLED recall pin for the approximate ANN path: neighbor-set recall
     // of lshTopK vs the exact bounded-heap brute top-k on the same
     // queries must clear a fixed floor — single closed-form row.
@@ -961,6 +985,8 @@ object SparkEntry {
     "s_ann_lsh_recall" ->
       "SELECT CAST(1 AS BIGINT) AS recall_floor_met, CAST(1 AS BIGINT) AS has_rows",
     "s_ann_ivf_recall" ->
+      "SELECT CAST(1 AS BIGINT) AS recall_floor_met, CAST(1 AS BIGINT) AS has_rows",
+    "s_ann_pq_recall" ->
       "SELECT CAST(1 AS BIGINT) AS recall_floor_met, CAST(1 AS BIGINT) AS has_rows",
     // fingerprint property pin: distinct fingerprints == DuckDB's distinct
     // texts (determinism + collision-freedom, cross-engine)

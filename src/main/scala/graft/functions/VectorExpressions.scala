@@ -275,11 +275,92 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/**
+ * Asymmetric-distance (ADC) score for a product-quantized vector: the sum
+ * over subspaces j of `luts[j][codes[j]]`, where `codes` is the doc's PQ
+ * code word (array<int>, one codebook index per subspace) and `luts` is the
+ * QUERY-side lookup table (array<array<double>>, per-subspace dot products
+ * of the query slice with every codeword — Jégou, Douze, Schmid, "Product
+ * Quantization for Nearest Neighbor Search", TPAMI'11 §IV.A). This is THE
+ * inner loop of a PQ scan: one table lookup + add per subspace instead of a
+ * dsub-wide dot product, over codes that are 16-32× smaller than the raw
+ * vectors — at 100 TB the compressed scan is the point.
+ *
+ * Null semantics (twin-tested vs [[Vectors.pqAdcHof]]): null codes or null
+ * luts → null; subspace-count mismatch, null element on either side, or a
+ * code outside its LUT's range → null (a structurally bad pair scores as
+ * unknown, never as a silently-partial sum — [[graft.ops.Pq.encode]] never
+ * emits one).
+ */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"PqAdc requires (array<int>, array<array<double>>), got $l / $r")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val luts = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (luts.numElements() != m) return null
+    var sum = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j) || luts.isNullAt(j)) return null
+      val c = codes.getInt(j)
+      val lut = luts.getArray(j)
+      if (c < 0 || c >= lut.numElements() || lut.isNullAt(c)) return null
+      sum += lut.getDouble(c)
+      j += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, luts) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val lut = ctx.freshName("lut")
+      val sum = ctx.freshName("sum")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $m = $codes.numElements();
+         |double $sum = 0.0;
+         |boolean $bad = ($luts.numElements() != $m);
+         |for (int $j = 0; !$bad && $j < $m; $j++) {
+         |  if ($codes.isNullAt($j) || $luts.isNullAt($j)) { $bad = true; break; }
+         |  int $c = $codes.getInt($j);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $lut = $luts.getArray($j);
+         |  if ($c < 0 || $c >= $lut.numElements() || $lut.isNullAt($c)) { $bad = true; break; }
+         |  $sum += $lut.getDouble($c);
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over `array<float|double>` columns. */
   def dotNative(a: Column, b: Column): Column =
     GraftBridge.column(VectorDot(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd PQ asymmetric-distance score (see [[PqAdc]]). */
+  def pqAdcNative(codes: Column, luts: Column): Column =
+    GraftBridge.column(PqAdc(
+      GraftBridge.expression(codes), GraftBridge.expression(luts)))
 
   /** The `nProbe` nearest IVF centroids for each vector (array<int>). */
   def nearestCentroids(a: Column, centroids: Array[Array[Double]], nProbe: Int): Column =

@@ -47,6 +47,22 @@ object Vectors {
       .otherwise(transform(a, x => x.cast(DoubleType) / n))
   }
 
+  /** PQ asymmetric-distance score: sum over subspaces of `luts[j][codes[j]]`
+    * — codegen'd native expression (see [[VectorExpressions.PqAdc]]). */
+  def pqAdc(codes: Column, luts: Column): Column =
+    VectorExpressions.pqAdcNative(codes, luts)
+
+  /** Composite HOF form of [[pqAdc]] — equivalence-test reference. Null /
+    * mismatch / out-of-range cases all collapse to a null sum exactly like
+    * the native form (a null term poisons the running `+`). */
+  def pqAdcHof(codes: Column, luts: Column): Column = {
+    val terms = zip_with(codes, luts, (c, l) =>
+      when(c.isNotNull && l.isNotNull && c >= 0 && c < size(l), element_at(l, c + 1)))
+    when(codes.isNull || luts.isNull || size(codes) =!= size(luts),
+      lit(null).cast(DoubleType))
+      .otherwise(aggregate(terms, lit(0.0), (acc, v) => acc + v))
+  }
+
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast(DoubleType) - y.cast(DoubleType)

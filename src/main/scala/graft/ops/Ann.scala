@@ -82,7 +82,7 @@ object Ann {
    * order. Shuffle volume is O(#queries × k × #partitions) heap entries —
    * never the candidate set — and there is no per-query window sort.
    */
-  private def finishTopK(candidates: DataFrame, k: Int): DataFrame = {
+  private[ops] def finishTopK(candidates: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
     candidates
       .where(col("score").isNotNull)
@@ -176,8 +176,26 @@ object Ann {
   def trainCentroids(docs: DataFrame, idCol: String, vecCol: String, nCells: Int,
       sampleN: Int = 20000, iters: Int = 5): Array[Array[Double]] = {
     require(nCells > 0 && sampleN >= nCells, "need sampleN >= nCells > 0")
-    // poisoned rows (null vector, null element, ragged dim) are SKIPPED,
-    // not fatal — one bad embedding must not kill quantizer training
+    val (sample, rawN) = hashOrderedSample(docs, idCol, vecCol, sampleN)
+    require(sample.length >= math.min(nCells, rawN),
+      s"only ${sample.length} usable vectors of modal dim ${sample(0).length}" +
+        s" — too few to train $nCells cells")
+    lloyds(sample, nCells, iters)
+  }
+
+  /**
+   * Deterministic bounded driver sample of usable vectors for quantizer
+   * training, shared by the IVF coarse quantizer and the PQ subquantizers:
+   * hash-ordered (xxhash64 of the id — independent of partitioning, stable
+   * across runs, no RNG), poisoned rows (null vector, null element) SKIPPED
+   * not fatal, then filtered to the MODAL vector length (ties → smaller
+   * dim, deterministic). Trusting the first row's length would let a single
+   * ragged outlier that happens to hash first set the wrong dim and discard
+   * every well-formed vector — the exact failure the skip-don't-die policy
+   * exists to prevent. Returns (modal-dim sample, pre-filter usable count).
+   */
+  private[ops] def hashOrderedSample(docs: DataFrame, idCol: String,
+      vecCol: String, sampleN: Int): (Array[Array[Double]], Int) = {
     val raw = docs
       .select(col(idCol), col(vecCol))
       .where(col(vecCol).isNotNull)
@@ -194,18 +212,22 @@ object Ann {
         }
       }
     require(raw.nonEmpty, "no usable vectors to train on")
-    // corpus dimension = MODAL vector length in the sample (ties → smaller
-    // dim, deterministic). Trusting raw(0) would let a single ragged
-    // outlier that happens to hash first set the wrong dim and discard
-    // every well-formed vector — the exact failure this skip-don't-die
-    // policy exists to prevent.
     val dim = raw.groupBy(_.length).view.mapValues(_.length).toSeq
       .minBy { case (len, n) => (-n, len) }._1
-    val sample = raw.filter(_.length == dim) // drop ragged outliers
-    require(sample.length >= math.min(nCells, raw.length),
-      s"only ${sample.length} usable vectors of modal dim $dim — too few to train $nCells cells")
-    // init: the hash-order sample's first nCells vectors (deterministic)
-    val cent = Array.tabulate(math.min(nCells, sample.length))(i => sample(i).clone())
+    (raw.filter(_.length == dim), raw.length)
+  }
+
+  /**
+   * Driver-side Lloyd's k-means on an equal-length sample: deterministic
+   * init (the sample's first k vectors), empty clusters respawned on the
+   * farthest sampled point. Cheap by construction — sampleN × k × dim ×
+   * iters flops on small constants.
+   */
+  private[ops] def lloyds(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    val cent = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone())
     var it = 0
     while (it < iters) {
       val sums = Array.fill(cent.length)(new Array[Double](dim))

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{Vectors, VectorExpressions}
+
+/**
+ * Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+ * Nearest Neighbor Search", TPAMI'11) — the memory-compression leg of the
+ * ANN plane. [[Ann.ivfTopK]] makes the candidate COUNT sublinear (cells ≈
+ * √n is the dial); PQ makes the candidate BYTES sublinear: each L2-
+ * normalized vector is split into `m` subspaces and each subspace replaced
+ * by the index of its nearest codeword in a per-subspace trained codebook,
+ * so a 64-dim float vector (256 B) becomes m = 8 small ints — 16-32× less
+ * memory/scan bandwidth, which at the 10^12-doc design point is the
+ * difference between an in-memory inverted file and re-reading parquet per
+ * query batch.
+ *
+ * Query-time scoring is the asymmetric distance computation (ADC, TPAMI'11
+ * §IV.A): the query stays EXACT; per subspace a 1×`codesPerSub` lookup
+ * table of dot products is computed once per query (driver-free, inside
+ * the broadcast projection), and each doc scores as `Σⱼ lut[j][code[j]]` —
+ * the codegen'd [[graft.functions.PqAdc]] expression, one lookup+add per
+ * subspace per (doc, query) pair instead of a dsub-wide multiply loop.
+ * Because docs are normalized before encoding, the ADC sum approximates
+ * cosine similarity; an optional exact re-rank of the ADC top-`rerank`
+ * restores exactness at the top (standard PQ + refine).
+ *
+ * Training mirrors [[Ann.trainCentroids]]'s determinism contract: the same
+ * hash-ordered modal-dim sample, Lloyd's per subspace with deterministic
+ * init and empty-cell repair — no RNG anywhere, so codes, scores, and
+ * recall pins are stable across runs and partitionings.
+ */
+object Pq {
+
+  /** Trained PQ model: `m` codebooks of up to `codesPerSub` codewords, each
+    * codeword `dsub = dim / m` doubles. */
+  final case class PqModel(m: Int, dsub: Int, codebooks: Array[Array[Array[Double]]]) {
+    require(m > 0 && codebooks.length == m, "codebook count must equal m")
+    /** Bytes per doc at the ideal byte-packed layout (codesPerSub ≤ 256). */
+    def packedBytesPerDoc: Int = m
+  }
+
+  /**
+   * Train per-subspace codebooks on the corpus distribution. `dim % m == 0`
+   * is required (equal subspace widths, per the paper). Vectors are
+   * L2-normalized BEFORE slicing so the ADC dot sum approximates cosine.
+   */
+  def train(docs: DataFrame, idCol: String, vecCol: String, m: Int,
+      codesPerSub: Int = 256, sampleN: Int = 20000, iters: Int = 10): PqModel = {
+    require(m > 0 && codesPerSub > 1, "need m > 0 and codesPerSub > 1")
+    val (sample, _) = Ann.hashOrderedSample(docs, idCol, vecCol, sampleN)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim is not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val normed = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = normed.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      Ann.lloyds(sub, math.min(codesPerSub, sub.length), iters)
+    }
+    PqModel(m, dsub, codebooks)
+  }
+
+  /** Per-subspace code assignment column for a (normalized) vector column:
+    * `m` [[graft.functions.NearestCentroids]] argmins over slices. Any
+    * unassignable subspace (null element, ragged length, NaN) yields −1. */
+  private def codesCol(normVec: Column, model: PqModel): Column =
+    array((0 until model.m).map { j =>
+      VectorExpressions.nearestCentroids(
+        slice(normVec, j * model.dsub + 1, model.dsub), model.codebooks(j), 1)(0)
+    }: _*)
+
+  /**
+   * Encode docs to their PQ codes: `(doc_id, codes array<int>)` — the
+   * compressed representation a 100 TB deployment would persist next to
+   * (or instead of) the raw vectors. Unassignable docs (null/ragged/NaN
+   * vectors) are dropped, matching [[Ann.ivfTopK]]'s cell ≥ 0 policy.
+   */
+  def encode(docs: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame =
+    docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        codesCol(Vectors.normalize(col(vecCol)), model).as("codes"))
+      .where(!array_contains(col("codes"), -1))
+
+  /** Query-side ADC lookup tables: per subspace, the dot of the normalized
+    * query slice with EVERY codeword (array<array<double>>, m × codes). */
+  private def lutsCol(normQ: Column, model: PqModel): Column =
+    array((0 until model.m).map { j =>
+      val cb = typedLit(model.codebooks(j).map(_.toSeq).toSeq)
+      transform(cb, c => Vectors.dot(slice(normQ, j * model.dsub + 1, model.dsub), c))
+    }: _*)
+
+  /**
+   * PQ ANN top-k: compressed-domain ADC scan of every encoded doc against
+   * broadcast per-query LUTs, finished by the bounded-heap distinct
+   * [[Ann.TopKAggregator]] (map-side partials — shuffle volume is
+   * O(#queries × k × #partitions), never the candidate set, and no window
+   * rank). With `rerank > 0` the ADC top-`max(k, rerank)` is re-scored with
+   * exact cosine against the raw vectors (docs side streamed once more,
+   * candidate ids and queries both broadcast) — the standard PQ + refine
+   * shape that restores exact top-k order while still paying the full-scan
+   * cost only in compressed space.
+   */
+  def topK(docs: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String, k: Int, model: PqModel,
+      rerank: Int = 0): DataFrame = {
+    val enc = encode(docs, idCol, vecCol, model)
+    val q = queries.select(col(qIdCol).cast(LongType).as("query_id"),
+      lutsCol(Vectors.normalize(col(qVecCol)), model).as("luts"))
+    val cand = enc.join(broadcast(q))
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        Vectors.pqAdc(col("codes"), col("luts")).as("score"))
+    val adcTop = Ann.finishTopK(cand, math.max(k, rerank))
+    if (rerank <= 0) adcTop
+    else {
+      val ids = adcTop.select(col("query_id"), col("neighbor_id").as("doc_id"))
+      val dv = docs.select(col(idCol).cast(LongType).as("doc_id"), col(vecCol).as("dv"))
+      val qv = queries.select(col(qIdCol).cast(LongType).as("query_id"),
+        col(qVecCol).as("qv"))
+      val exact = dv
+        .join(broadcast(ids), Seq("doc_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          Vectors.cosine(col("dv"), col("qv")).as("score"))
+      Ann.finishTopK(exact, k)
+    }
+  }
+}

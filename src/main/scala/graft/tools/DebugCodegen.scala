@@ -34,6 +34,16 @@ object DebugCodegen {
     val buckets = vecs.select(graft.functions.Vectors.signBits(col("v"), 8).as("b"))
     buckets.debugCodegen()
     buckets.collect()
+    // PQ asymmetric-distance native (codes × query LUTs)
+    val pqRows = spark.range(0, 1000, 1, 4).select(
+      org.apache.spark.sql.functions.array(
+        (col("id") % 4).cast("int"), (col("id") % 3).cast("int")).as("codes"),
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.array(lit(0.1), lit(0.2), lit(0.3), lit(0.4)),
+        org.apache.spark.sql.functions.array(lit(1.0), lit(2.0), lit(3.0), lit(4.0))).as("luts"))
+    val adc = pqRows.select(graft.functions.Vectors.pqAdc(col("codes"), col("luts")).as("s"))
+    adc.debugCodegen()
+    adc.collect()
     // uint64 decimal branch of StructArrayRuleCount (RuleRangeDecimal):
     // CODEGEN_ONLY turns a janino error into a hard failure instead of the
     // silent interpreted fallback
