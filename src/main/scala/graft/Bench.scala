@@ -74,7 +74,7 @@ object Bench {
     // 60-75% of the timed path and is harness cost, not engine cost. The
     // table is written once (untimed; deterministic generator, reused
     // across runs of the same size).
-    val docsPath = s"/tmp/graft_bench_docs_$nDocs"
+    val docsPath = s"${graft.tools.DedupCorpus.benchRoot}/graft_bench_docs_$nDocs"
     if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
       graft.io.Docs.generate(spark, nDocs, numPartitions = 256, corruptEvery = 1000)
         .write.mode("overwrite").parquet(docsPath)

@@ -107,8 +107,19 @@ object Pq {
    */
   def topK(docs: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       qIdCol: String, qVecCol: String, k: Int, model: PqModel,
-      rerank: Int = 0): DataFrame = {
-    val enc = encode(docs, idCol, vecCol, model)
+      rerank: Int = 0): DataFrame =
+    topKFromCodes(encode(docs, idCol, vecCol, model), docs, queries,
+      idCol, vecCol, qIdCol, qVecCol, k, model, rerank)
+
+  /**
+   * [[topK]] over a PRE-ENCODED codes table `(doc_id, codes)` — the
+   * production shape: codes are encoded once and persisted (they are the
+   * compressed index), and each query batch pays only the compressed scan
+   * (+ re-rank vector fetches), never a re-encode of the corpus.
+   */
+  def topKFromCodes(enc: DataFrame, docs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String, k: Int,
+      model: PqModel, rerank: Int = 0): DataFrame = {
     val q = queries.select(col(qIdCol).cast(LongType).as("query_id"),
       lutsCol(Vectors.normalize(col(qVecCol)), model).as("luts"))
     val cand = enc.join(broadcast(q))

@@ -94,24 +94,56 @@ object AnnScaleProbe {
     // re-hunts of the IVF design point shouldn't pay ~15 min for a number
     // already on record
     val skipLsh = sys.env.get("SPARK_GRAFT_SKIP_LSH").contains("1")
+    // SKIP_PQ=1 → skip the compressed-domain full-scan legs (they score
+    // every (doc, query) pair by ADC — the heaviest timed legs at 10^6)
+    val skipPq = sys.env.get("SPARK_GRAFT_SKIP_PQ").contains("1")
+
+    var pqTrainSec = 0.0
+    val pqModel = if (skipPq) null else {
+      val t0 = System.nanoTime()
+      val m = DedupCorpus.AnnProbe.trainPq(spark.read.parquet(path))
+      pqTrainSec = (System.nanoTime() - t0) / 1e9
+      m
+    }
+    // encode ONCE (untimed, like IVF training): codes are the persisted
+    // compressed index; each timed leg pays only the ADC scan + re-rank
+    val pqCodesPath = s"$path-pqcodes"
+    if (!skipPq && !new java.io.File(s"$pqCodesPath/_SUCCESS").exists()) {
+      graft.ops.Pq.encode(spark.read.parquet(path), "doc_id", "vec", pqModel)
+        .write.mode("overwrite").parquet(pqCodesPath)
+    }
+    def pqLeg(width: Int): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (width > 0) width.toString else cpus.toString)
+      try {
+        val w = if (width > 0) width else cpus
+        val codes = spark.read.parquet(pqCodesPath).repartition(w)
+        val docs = spark.read.parquet(path).repartition(w)
+        DedupCorpus.AnnProbe.pqFromCodes(codes, docs, pqModel).count(): Unit
+      } finally spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+    }
 
     // warm-ups (JIT + codegen + page cache), then alternate widths in-JVM
     ctrl(8); ctrl(0)
     if (!skipLsh) { lshLeg(8); lshLeg(0) }
     ivfLeg(8); ivfLeg(0)
+    if (!skipPq) { pqLeg(8); pqLeg(0) }
     val (c8, cF) = (collection.mutable.ArrayBuffer[Double](), collection.mutable.ArrayBuffer[Double]())
     val (l8, lF) = (collection.mutable.ArrayBuffer[Double](), collection.mutable.ArrayBuffer[Double]())
     val (i8, iF) = (collection.mutable.ArrayBuffer[Double](), collection.mutable.ArrayBuffer[Double]())
+    val (p8, pF) = (collection.mutable.ArrayBuffer[Double](), collection.mutable.ArrayBuffer[Double]())
     for (_ <- 1 to 3) {
       c8 += timeIt(ctrl(8)); cF += timeIt(ctrl(0))
       if (!skipLsh) { l8 += timeIt(lshLeg(8)); lF += timeIt(lshLeg(0)) }
       i8 += timeIt(ivfLeg(8)); iF += timeIt(ivfLeg(0))
+      if (!skipPq) { p8 += timeIt(pqLeg(8)); pF += timeIt(pqLeg(0)) }
     }
     def thr(ts: Seq[Double]): Double = if (ts.isEmpty) 0.0 else nAnn / ts.min
     def eff(f: Double, e: Double): Double = if (e == 0.0) 0.0 else (f / e) / widthRatio
     val (ctl8, ctlF) = (thr(c8.toSeq), thr(cF.toSeq))
     val (lsh8, lshF) = (thr(l8.toSeq), thr(lF.toSeq))
     val (ivf8, ivfF) = (thr(i8.toSeq), thr(iF.toSeq))
+    val (pq8, pqF) = (thr(p8.toSeq), thr(pF.toSeq))
 
     // recall once (untimed): brute oracle over the same corpus
     val base = spark.read.parquet(path)
@@ -124,15 +156,19 @@ object AnnScaleProbe {
     }
     val lshRecall = if (skipLsh) -1.0 else recallOf(DedupCorpus.AnnProbe.lsh(base))
     val ivfRecall = recallOf(DedupCorpus.AnnProbe.ivf(base, cents))
+    val pqRecall = if (skipPq) -1.0 else recallOf(DedupCorpus.AnnProbe.pq(base, pqModel))
 
     System.err.println(f"[ann-probe] n=$nAnn cells=$ivfCells train=$ivfTrainSec%.1f s | " +
       f"ctrl eff=${eff(ctlF, ctl8)}%.2f | lsh ${lshF}%.0f docs/s eff=${eff(lshF, lsh8)}%.2f r=$lshRecall%.3f | " +
-      f"ivf ${ivfF}%.0f docs/s eff=${eff(ivfF, ivf8)}%.2f r=$ivfRecall%.3f")
+      f"ivf ${ivfF}%.0f docs/s eff=${eff(ivfF, ivf8)}%.2f r=$ivfRecall%.3f | " +
+      f"pq ${pqF}%.0f docs/s eff=${eff(pqF, pq8)}%.2f r=$pqRecall%.3f")
     println(s"""{"metric":"ann_scale_probe","ann_docs":$nAnn,"cpus":$cpus,""" +
       s""""control_docs_per_sec":$ctlF,"control_docs_per_sec_8wide":$ctl8,"control_scaling_efficiency":${eff(ctlF, ctl8)},""" +
       s""""lsh_docs_per_sec":$lshF,"lsh_docs_per_sec_8wide":$lsh8,"lsh_scaling_efficiency":${eff(lshF, lsh8)},"lsh_recall":$lshRecall,""" +
       s""""ivf_cells":$ivfCells,"ivf_nprobe":${DedupCorpus.AnnProbe.IvfProbes},"ivf_train_sec":$ivfTrainSec,""" +
       s""""ivf_docs_per_sec":$ivfF,"ivf_docs_per_sec_8wide":$ivf8,"ivf_scaling_efficiency":${eff(ivfF, ivf8)},"ivf_recall":$ivfRecall,""" +
+      s""""pq_m":${DedupCorpus.AnnProbe.PqM},"pq_rerank":${DedupCorpus.AnnProbe.PqRerank},"pq_train_sec":$pqTrainSec,""" +
+      s""""pq_docs_per_sec":$pqF,"pq_docs_per_sec_8wide":$pq8,"pq_scaling_efficiency":${eff(pqF, pq8)},"pq_recall":$pqRecall,""" +
       s""""ann_k":${DedupCorpus.AnnProbe.K},"trials":3}""")
     spark.stop()
   }

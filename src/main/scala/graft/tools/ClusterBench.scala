@@ -57,7 +57,7 @@ object ClusterBench {
         // span-building generator — harness cost, not engine cost.
         // Same canonical path as Bench (corpus reused across protocols);
         // temp-dir + atomic rename so concurrent JVMs race safely.
-        val docsPath = s"/tmp/graft_bench_docs_$nDocs"
+        val docsPath = s"${DedupCorpus.benchRoot}/graft_bench_docs_$nDocs"
         if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
           val tmp = s"${docsPath}_build_${java.util.UUID.randomUUID().toString.take(8)}"
           Docs.generate(spark, nDocs, numPartitions = partitions, corruptEvery = 1000)

@@ -61,8 +61,23 @@ object DedupCorpus {
     * Race-safe across concurrent JVMs (the two-JVM scaling protocol):
     * writes to a private temp dir, then atomically renames into place —
     * the loser of the rename just uses the winner's corpus. */
+  /**
+   * Root for materialized bench corpora: the ramdisk when available. The
+   * scaling protocols' documented input shape is "page-cache-warm local
+   * parquet" (the single-box stand-in for executor-local storage reads),
+   * but the page cache does not survive co-tenant memory churn: a 1.2 GB
+   * /tmp table evicted between cluster submissions turned the 4-executor
+   * scan disk-bound and ANTI-scaling (13.4 s at 32 cores vs 10.4 s at 8)
+   * while its zero-read compute control scaled 4.2×. /dev/shm makes the
+   * warm-read protocol deterministic instead of an eviction lottery.
+   */
+  lazy val benchRoot: String = {
+    val shm = new java.io.File("/dev/shm/graft-corpora")
+    if (shm.isDirectory || shm.mkdirs()) shm.getAbsolutePath else "/tmp"
+  }
+
   def ensure(spark: SparkSession, n: Long, degen: Long = 20000L): String = {
-    val path = s"/tmp/graft_dedup_corpus_v${FormulaVersion}_${n}_$degen"
+    val path = s"$benchRoot/graft_dedup_corpus_v${FormulaVersion}_${n}_$degen"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val tmp = s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}"
       generate(spark, n, 256, degen).write.mode("overwrite").parquet(tmp)
@@ -138,7 +153,7 @@ object DedupCorpus {
     * (doc_id, vec). Same race-safe rename protocol as [[ensure]]. */
   def ensureAnn(spark: SparkSession, n: Long): String = {
     import spark.implicits._
-    val path = s"/tmp/graft_ann_corpus_v${AnnFormulaVersion}_$n"
+    val path = s"$benchRoot/graft_ann_corpus_v${AnnFormulaVersion}_$n"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val tmp = s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}"
       spark.range(0, n, 1, 64).as[Long]
@@ -188,6 +203,27 @@ object DedupCorpus {
     def ivf(docs: DataFrame, cents: Array[Array[Double]], nProbe: Int = IvfProbes): DataFrame =
       graft.ops.Ann.ivfTopK(docs, queries(docs), "doc_id", "vec", "doc_id", "vec",
         k = K, centroids = cents, nProbe = nProbe)
+
+    // ---- PQ at the probe's dims: 32-dim float (128 B) → m = 8 codes.
+    // The timed leg is the compressed-domain ADC scan over a PERSISTED
+    // codes table + exact re-rank of the ADC top 10K — the production
+    // shape (codes encoded once, amortized like IVF training). Rerank is
+    // 10×K because the probe corpus is CLUSTERED: duplicate clusters put
+    // many near-tied scores around the top-k boundary, and the ADC
+    // quantization error (~0.03 cosine) cannot order ties — the refine
+    // stage can (rerank=3K read 0.69 recall here; 10K reads ~1.0 at the
+    // cost of 100 exact cosines per query).
+    val PqM = 8
+    val PqRerank = 10 * K
+    def trainPq(docs: DataFrame): graft.ops.Pq.PqModel =
+      graft.ops.Pq.train(docs, "doc_id", "vec", m = PqM, sampleN = 20000, iters = 5)
+    def pq(docs: DataFrame, model: graft.ops.Pq.PqModel): DataFrame =
+      graft.ops.Pq.topK(docs, queries(docs), "doc_id", "vec", "doc_id", "vec",
+        k = K, model, rerank = PqRerank)
+    def pqFromCodes(codes: DataFrame, docs: DataFrame,
+        model: graft.ops.Pq.PqModel): DataFrame =
+      graft.ops.Pq.topKFromCodes(codes, docs, queries(docs), "doc_id", "vec",
+        "doc_id", "vec", k = K, model, rerank = PqRerank)
   }
 
   /** True exact-duplicate pair count outside the degenerate shard. */
