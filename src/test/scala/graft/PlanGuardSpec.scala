@@ -117,7 +117,12 @@ class PlanGuardSpec extends SparkTestBase {
     val cents = graft.ops.Ann.trainCentroids(docs, "id", "v", nCells = 8, sampleN = 200)
     val ivf = physical(graft.ops.Ann.ivfTopK(docs, queries, "id", "v", "id", "v",
       k = 5, centroids = cents, nProbe = 2))
-    for ((name, plan) <- Seq(("brute", brute), ("lsh", lsh), ("ivf", ivf))) {
+    // pq (with re-rank, so BOTH finishTopK stages are in one plan): the
+    // compressed scan broadcasts the query LUTs over the codes table
+    val model = graft.ops.Pq.train(docs, "id", "v", m = 3, sampleN = 200)
+    val pq = physical(graft.ops.Pq.topK(docs, queries, "id", "v", "id", "v",
+      k = 5, model, rerank = 10))
+    for ((name, plan) <- Seq(("brute", brute), ("lsh", lsh), ("ivf", ivf), ("pq", pq))) {
       assert(!plan.contains("Window"),
         s"$name top-k must use the bounded-heap aggregator, not a window rank:\n${plan.take(3000)}")
       assert(!plan.contains("Sort "),
