@@ -66,7 +66,7 @@ EOF
       tail -2 "/tmp/graft_hunt/cluster_dedup_${ts}.log" ;;
     ann1m)
       log=/tmp/graft_hunt/ann1m_${ts}.log
-      SPARK_GRAFT_ANN_DOCS=1000000 \
+      SPARK_GRAFT_ANN_DOCS=1000000 SPARK_GRAFT_SKIP_LSH=1 \
         sbt -batch 'runMain graft.tools.AnnScaleProbe' > "$log" 2>&1
       json=$(grep -o '{"metric".*}' "$log" | tail -1)
       [ -z "$json" ] && { echo "[hunt] ann1m FAILED (see $log)"; return 1; }
