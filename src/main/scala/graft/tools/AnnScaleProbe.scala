@@ -105,11 +105,13 @@ object AnnScaleProbe {
       pqTrainSec = (System.nanoTime() - t0) / 1e9
       m
     }
-    // encode ONCE (untimed, like IVF training): codes are the persisted
-    // compressed index; each timed leg pays only the ADC scan + re-rank
-    val pqCodesPath = s"$path-pqcodes"
+    // encode ONCE (untimed, like IVF training): the (cell, codes) rows are
+    // the persisted IVF×PQ index; each timed leg pays only the in-cell ADC
+    // scan + exact re-rank — both ANN dials composed (count via cells,
+    // bytes via codes)
+    val pqCodesPath = s"$path-ivfpq-v2"
     if (!skipPq && !new java.io.File(s"$pqCodesPath/_SUCCESS").exists()) {
-      graft.ops.Pq.encode(spark.read.parquet(path), "doc_id", "vec", pqModel)
+      DedupCorpus.AnnProbe.encodeIvfPq(spark.read.parquet(path), cents, pqModel)
         .write.mode("overwrite").parquet(pqCodesPath)
     }
     def pqLeg(width: Int): Unit = {
@@ -119,7 +121,7 @@ object AnnScaleProbe {
         val w = if (width > 0) width else cpus
         val codes = spark.read.parquet(pqCodesPath).repartition(w)
         val docs = spark.read.parquet(path).repartition(w)
-        DedupCorpus.AnnProbe.pqFromCodes(codes, docs, pqModel).count(): Unit
+        DedupCorpus.AnnProbe.ivfPqFromCodes(codes, docs, cents, pqModel).count(): Unit
       } finally spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
     }
 
@@ -156,19 +158,20 @@ object AnnScaleProbe {
     }
     val lshRecall = if (skipLsh) -1.0 else recallOf(DedupCorpus.AnnProbe.lsh(base))
     val ivfRecall = recallOf(DedupCorpus.AnnProbe.ivf(base, cents))
-    val pqRecall = if (skipPq) -1.0 else recallOf(DedupCorpus.AnnProbe.pq(base, pqModel))
+    val pqRecall = if (skipPq) -1.0 else recallOf(DedupCorpus.AnnProbe.ivfPqFromCodes(
+      spark.read.parquet(pqCodesPath), base, cents, pqModel))
 
     System.err.println(f"[ann-probe] n=$nAnn cells=$ivfCells train=$ivfTrainSec%.1f s | " +
       f"ctrl eff=${eff(ctlF, ctl8)}%.2f | lsh ${lshF}%.0f docs/s eff=${eff(lshF, lsh8)}%.2f r=$lshRecall%.3f | " +
       f"ivf ${ivfF}%.0f docs/s eff=${eff(ivfF, ivf8)}%.2f r=$ivfRecall%.3f | " +
-      f"pq ${pqF}%.0f docs/s eff=${eff(pqF, pq8)}%.2f r=$pqRecall%.3f")
+      f"ivfpq ${pqF}%.0f docs/s eff=${eff(pqF, pq8)}%.2f r=$pqRecall%.3f")
     println(s"""{"metric":"ann_scale_probe","ann_docs":$nAnn,"cpus":$cpus,""" +
       s""""control_docs_per_sec":$ctlF,"control_docs_per_sec_8wide":$ctl8,"control_scaling_efficiency":${eff(ctlF, ctl8)},""" +
       s""""lsh_docs_per_sec":$lshF,"lsh_docs_per_sec_8wide":$lsh8,"lsh_scaling_efficiency":${eff(lshF, lsh8)},"lsh_recall":$lshRecall,""" +
       s""""ivf_cells":$ivfCells,"ivf_nprobe":${DedupCorpus.AnnProbe.IvfProbes},"ivf_train_sec":$ivfTrainSec,""" +
       s""""ivf_docs_per_sec":$ivfF,"ivf_docs_per_sec_8wide":$ivf8,"ivf_scaling_efficiency":${eff(ivfF, ivf8)},"ivf_recall":$ivfRecall,""" +
-      s""""pq_m":${DedupCorpus.AnnProbe.PqM},"pq_rerank":${DedupCorpus.AnnProbe.PqRerank},"pq_train_sec":$pqTrainSec,""" +
-      s""""pq_docs_per_sec":$pqF,"pq_docs_per_sec_8wide":$pq8,"pq_scaling_efficiency":${eff(pqF, pq8)},"pq_recall":$pqRecall,""" +
+      s""""ivfpq_m":${DedupCorpus.AnnProbe.PqM},"ivfpq_rerank":${DedupCorpus.AnnProbe.IvfPqRerank},"ivfpq_train_sec":$pqTrainSec,""" +
+      s""""ivfpq_docs_per_sec":$pqF,"ivfpq_docs_per_sec_8wide":$pq8,"ivfpq_scaling_efficiency":${eff(pqF, pq8)},"ivfpq_recall":$pqRecall,""" +
       s""""ann_k":${DedupCorpus.AnnProbe.K},"trials":3}""")
     spark.stop()
   }

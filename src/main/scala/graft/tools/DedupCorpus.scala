@@ -224,6 +224,23 @@ object DedupCorpus {
         model: graft.ops.Pq.PqModel): DataFrame =
       graft.ops.Pq.topKFromCodes(codes, docs, queries(docs), "doc_id", "vec",
         "doc_id", "vec", k = K, model, rerank = PqRerank)
+
+    // ---- IVF×PQ: both dials composed (candidate count = nProbe·√n via
+    // IVF cells, candidate bytes = m codes via PQ, exact re-rank on top).
+    // Rerank deepens to 1000 at probe scale: the synthetic corpus has a
+    // DENSE score tail (random 32-dim vectors put thousands of candidates
+    // within the ADC error band of the rank-K boundary — the full-scan PQ
+    // leg measured recall 0.139 at 1M docs because of exactly this), and
+    // 1000 exact cosines per query is still ~0.1% of the corpus.
+    val IvfPqRerank = 1000
+    def encodeIvfPq(docs: DataFrame, cents: Array[Array[Double]],
+        model: graft.ops.Pq.PqModel): DataFrame =
+      graft.ops.Pq.encodeWithCells(docs, "doc_id", "vec", cents, model)
+    def ivfPqFromCodes(enc: DataFrame, docs: DataFrame,
+        cents: Array[Array[Double]], model: graft.ops.Pq.PqModel): DataFrame =
+      graft.ops.Pq.ivfPqFromCodes(enc, docs, queries(docs), "doc_id", "vec",
+        "doc_id", "vec", k = K, cents, nProbe = IvfProbes, model,
+        rerank = IvfPqRerank)
   }
 
   /** True exact-duplicate pair count outside the degenerate shard. */

@@ -122,6 +122,39 @@ class PqSpec extends SparkTestBase {
     assert(reranked.subsetOf(exact25), "re-ranked PQ returned a non-neighbor")
   }
 
+  test("IVF×PQ (both dials composed) clears recall 0.9 and returns true neighbors") {
+    val e = embeddings
+    val q = e.where(col("vec_id") < 20)
+    val model = Pq.train(e, "vec_id", "embedding", m = 8, iters = 10)
+    val cents = Ann.trainCentroids(e, "vec_id", "embedding", nCells = 22,
+      sampleN = 500, iters = 10)
+    val exact = Ann.bruteTopK(e, q, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uniform vectors: recall ∝ probed fraction (same as the IVF pin), so
+    // probe most cells; the point under test is the ADC ordering + re-rank
+    // INSIDE probed cells, not coarse recall
+    val ivfpq = Pq.ivfPqTopK(e, q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, cents, nProbe = 18, model, rerank = 25)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    info(f"IVF×PQ recall@5 = $recall%.2f")
+    assert(recall >= 0.9, f"IVF×PQ recall $recall%.2f")
+    val exact25 = Ann.bruteTopK(e, q, "vec_id", "embedding", "vec_id", "embedding", k = 25)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.subsetOf(exact25), "IVF×PQ returned a non-neighbor")
+    // the persisted-index entry point is the same path (delegation pin)
+    val enc = Pq.encodeWithCells(e, "vec_id", "embedding", cents, model)
+    assert(enc.columns.toSeq === Seq("doc_id", "cell", "codes"))
+    val viaCodes = Pq.ivfPqFromCodes(enc, e, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, cents, nProbe = 18, model, rerank = 25)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaCodes === ivfpq)
+  }
+
   test("ADC score approximates exact cosine on the trained distribution") {
     val e = embeddings.limit(100)
     val q = e.where(col("vec_id") < 3)
