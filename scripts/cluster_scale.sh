@@ -20,6 +20,10 @@
 # Usage: scripts/cluster_scale.sh [validate|dedup] [docs]
 set -e
 cd "$(dirname "$0")/.."
+# One cluster at a time: concurrent invocations share the master/worker
+# daemons and pkill them on exit, corrupting each other's timings.
+exec 9>/tmp/graft_cluster.lock
+flock -n 9 || { echo "another cluster_scale.sh run holds /tmp/graft_cluster.lock — aborting"; exit 1; }
 MODE=${1:-validate}
 DOCS=${2:-16000000}
 LOGD=/tmp/graft_cluster
@@ -67,19 +71,24 @@ submit() { # $1=cores_max $2=shuffle_partitions $3=outJson
   grep -o '{.*}' "$3"; echo
 }
 
-submit 8  8  "$LOGD/n1_a.json"
-submit 32 32 "$LOGD/n4_a.json"
-submit 8  8  "$LOGD/n1_b.json"
-submit 32 32 "$LOGD/n4_b.json"
+# Per-mode leg filenames: two concurrent invocations (e.g. the hunter's
+# validate and a manual dedup) share LOGD, and a mode-less reporter once
+# read the OTHER run's legs into a mislabeled artifact.
+submit 8  8  "$LOGD/n1_a_$MODE.json"
+submit 32 32 "$LOGD/n4_a_$MODE.json"
+submit 8  8  "$LOGD/n1_b_$MODE.json"
+submit 32 32 "$LOGD/n4_b_$MODE.json"
 
 python3 - "$MODE" "$LOGD" <<'EOF'
 import json, sys
 mode, logd = sys.argv[1], sys.argv[2]
 def best(*ps):
     rs = [json.load(open(p)) for p in ps]
+    for r in rs:
+        assert r.get("mode") == mode, f"leg mode {r.get('mode')!r} != {mode!r}"
     return min(rs, key=lambda r: r["sec"])
-n1 = best(f"{logd}/n1_a.json", f"{logd}/n1_b.json")
-n4 = best(f"{logd}/n4_a.json", f"{logd}/n4_b.json")
+n1 = best(f"{logd}/n1_a_{mode}.json", f"{logd}/n1_b_{mode}.json")
+n4 = best(f"{logd}/n4_a_{mode}.json", f"{logd}/n4_b_{mode}.json")
 assert n1["executors"] == 1, f"N run got {n1['executors']} executors, want 1"
 assert n4["executors"] == 4, f"4N run got {n4['executors']} executors, want 4"
 eff = (n4["docs_per_sec"] / n1["docs_per_sec"]) / 4
