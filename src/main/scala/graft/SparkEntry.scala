@@ -44,6 +44,39 @@ object SparkEntry {
   lazy val documentsPlan = SpecCompiler.compile(documentsSpec)
   lazy val docsPlan = SpecCompiler.compile(Docs.docSpec)
 
+  /**
+   * Neighbor-set recall in ONE action: `brute LEFT JOIN approx` on
+   * (query_id, neighbor_id), counting all brute rows (total) and the joined
+   * hits (matched) in a single aggregate. Both inputs carry distinct keys
+   * (the bounded heap is distinct by id), so the left join preserves brute
+   * cardinality and `matched` equals the inner-join count. The previous
+   * two-count form (`brute.count()` then `approx.join(brute).count()`)
+   * evaluated the brute oracle TWICE and paid two driver round-trips.
+   */
+  private def recallCounts(approx: DataFrame, brute: DataFrame): (Long, Long) = {
+    val r = brute
+      .join(approx.withColumn("_hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .agg(count(col("_hit")).as("matched"), count(lit(1)).as("total"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Run two independent driver actions on concurrent threads (guide-style
+    * job overlap): wall time becomes max(a, b) instead of a + b. Results
+    * and failures propagate unchanged. */
+  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    @volatile var a: Option[A] = None
+    @volatile var err: Option[Throwable] = None
+    val t = new Thread(() => {
+      try a = Some(fa) catch { case e: Throwable => err = Some(e) }
+    }, "graft-parallel-leg")
+    t.start()
+    val b = fb
+    t.join()
+    err.foreach(e => throw e)
+    (a.get, b)
+  }
+
   /** Flagship: validate the canonical interleaved-doc domain + the driver's
     * documents table on sf=0.001; returns per-source pass/fail summary. */
   def entry(spark: SparkSession): DataFrame = {
@@ -463,8 +496,7 @@ object SparkEntry {
       val brute = graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
         "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
-      val total = brute.count()
-      val matched = ivf.join(brute, Seq("query_id", "neighbor_id")).count()
+      val (matched, total) = recallCounts(ivf, brute)
       val recall = if (total == 0) 0.0 else matched.toDouble / total
       Seq(((if (recall >= 0.9) 1L else 0L), (if (total > 0) 1L else 0L)))
         .toDF("recall_floor_met", "has_rows")
@@ -487,8 +519,7 @@ object SparkEntry {
       val brute = graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
         "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
-      val total = brute.count()
-      val matched = pq.join(brute, Seq("query_id", "neighbor_id")).count()
+      val (matched, total) = recallCounts(pq, brute)
       val recall = if (total == 0) 0.0 else matched.toDouble / total
       Seq(((if (recall >= 0.9) 1L else 0L), (if (total > 0) 1L else 0L)))
         .toDF("recall_floor_met", "has_rows")
@@ -507,8 +538,7 @@ object SparkEntry {
       val brute = graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
         "vec_id", "embedding", k = 3)
         .select("query_id", "neighbor_id")
-      val total = brute.count()
-      val matched = lsh.join(brute, Seq("query_id", "neighbor_id")).count()
+      val (matched, total) = recallCounts(lsh, brute)
       val recall = if (total == 0) 0.0 else matched.toDouble / total
       Seq(((if (recall >= 0.8) 1L else 0L), (if (total > 0) 1L else 0L)))
         .toDF("recall_floor_met", "has_rows")
@@ -564,7 +594,11 @@ object SparkEntry {
     // (ok ⇔ not null (id%50) and not poison (id%7)); feature VALUES are
     // pinned by PipelineSpec (true pixel dims, PCM stats, determinism).
     "m_features" -> ((s, dir) => {
-      val media = graft.ops.Multimodal.synthesizeMedia(s, 2000)
+      // synthesize/decode at full session parallelism: the default 8
+      // partitions capped the per-row codec work at 8 cores (content is a
+      // pure function of id — partitioning cannot change any feature)
+      val media = graft.ops.Multimodal.synthesizeMedia(s, 2000,
+        numPartitions = s.sparkContext.defaultParallelism)
       // ok rides as BIGINT: the driver's hash layer is only known-safe on
       // BIGINT/VARCHAR/DOUBLE (the r02 DECIMAL lesson)
       graft.ops.Multimodal.extractFeatures(media).toDF()
@@ -604,8 +638,10 @@ object SparkEntry {
       import s.implicits._
       val orders = t(s, dir, "orders")
         .withColumn("grp", when(col("o_orderstatus") === "F", "a").otherwise("b"))
-      val sk = graft.exec.Drift.ksTest(orders, "o_totalprice", "grp", "a", "b")
-      val ex = graft.exec.Drift.ksTestExact(orders, "o_totalprice", "grp", "a", "b")
+      // the sketch and exact legs are independent jobs — overlap them
+      val (sk, ex) = inParallel(
+        graft.exec.Drift.ksTest(orders, "o_totalprice", "grp", "a", "b"),
+        graft.exec.Drift.ksTestExact(orders, "o_totalprice", "grp", "a", "b"))
       Seq(((if (math.abs(sk.statistic - ex.statistic) <= 0.02) 1L else 0L),
         (if (ex.n1 > 0 && ex.n2 > 0) 1L else 0L)))
         .toDF("within_tol", "has_rows")

@@ -201,8 +201,14 @@ object ValidationRunner {
    * (property-tested), it just bounds reducer fan-in at 10^12 scale.
    */
   def uniqueDuplicatesSalted(df: DataFrame, key: String, saltBuckets: Int = 64): DataFrame = {
+    // salt = xxhash64 over (key, partition id): pure long-register codegen.
+    // The previous crc32(concat_ws(...)) form built a string per row —
+    // hashing the native values shuffles the same (key, salt) pairs for a
+    // fraction of the per-row CPU. Any salt assignment yields identical
+    // results (level 2 sums over salts); only the spread matters.
     val salted = df
-      .withColumn("_salt", pmod(crc32(concat_ws("#", col(key), spark_partition_id())), lit(saltBuckets)))
+      .select(col(key))
+      .withColumn("_salt", pmod(xxhash64(col(key), spark_partition_id()), lit(saltBuckets.toLong)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
     salted.groupBy(col(key)).agg(sum(col("_partial")).as("cnt")).where(col("cnt") > 1)

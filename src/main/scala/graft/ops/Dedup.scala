@@ -62,11 +62,38 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)
 
-  /** Keep one representative row per exact-duplicate group (min of `idCol`). */
+  /**
+   * Keep one representative row per exact-duplicate group (min of `idCol`).
+   *
+   * Partial-agg + anti-join shape, NOT a window over the content hash: a
+   * skewed exact-dup group (boilerplate/templated pages — 10⁸ rows of one
+   * text at web scale) would land a window's whole group on ONE task's
+   * sort, while `groupBy(hash)` collapses the dup mass map-side before the
+   * shuffle. The removal set (non-representative members of dup groups) is
+   * the duplicated mass — a few percent of a real corpus — so the final
+   * anti-join broadcasts under AQE and the full rows (text included) are
+   * never shuffled at all; the two narrow passes shuffle only (hash, id).
+   * `idCol` is assumed unique per row (the dedup key contract; duplicate
+   * (text, id) carriers are all representatives of their group).
+   */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol).cast(StringType))).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    val h = md5(col(textCol).cast(StringType))
+    val narrow = df.select(h.as("_ch"), col(idCol).as("_id"))
+    // dup groups only: (hash, min id) — partial aggregation absorbs any
+    // hot group's mass before the exchange, and the narrow projection
+    // shuffles (hash, id), never the text
+    val dupGroups = narrow.groupBy(col("_ch"))
+      .agg(min(col("_id")).as("_rep"), count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(col("_ch"), col("_rep"))
+    // removal set = non-representative members of dup groups (the dup MASS,
+    // a few percent of a real corpus → broadcastable); the final anti-join
+    // is keyed on the unique id, so no content-hash hot key ever routes
+    // full rows to one task (the window form's failure mode)
+    val removals = narrow.join(dupGroups, "_ch")
+      .where(col("_id") =!= col("_rep"))
+      .select(col("_id").as(idCol))
+    df.join(removals, Seq(idCol), "left_anti")
   }
 
   /**
@@ -416,28 +443,43 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs
+    // Materialize the input pair set once BEFORE symmetrizing: the two
+    // union legs would otherwise each re-run the caller's (expensive)
+    // pair-generation plan inside the cache-materialization job wherever
+    // exchange reuse doesn't cover a subtree.
+    val pairs0 = pairs
       .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
-      .union(pairs.select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
+      .localCheckpoint(false)
+    val edges = pairs0
+      .union(pairs0.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src")).cache()
+    // LAZY checkpoint: materialized by round 1's convergence count — the
+    // per-round count action doubles as the checkpoint job, so each round
+    // costs ONE action instead of two (checkpoint + count)
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+      .select(col("id"), col("id").as("label")).localCheckpoint(false)
     var iter = 0
     var converged = false
     try {
       while (!converged && iter < maxIter) {
-        val proposals = edges
+        // ONE aggregation per round: union the node's own (label, prev)
+        // row with its neighbors' label contributions and take the min —
+        // algebraically identical to the old propagate-then-left-join form
+        // (next = least(prev, min over neighbor labels); prev rides as the
+        // own row's max, exactly one own row per id), but with a single
+        // exchange and no second join. The checkpoint is LAZY, so the
+        // `changed` count below IS the materializing job (one action per
+        // round, constant-depth plan).
+        val own = labels.select(col("id"), col("label"),
+          col("label").as("prev"))
+        val nbr = edges
           .join(labels.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
-        // Carry the previous label through the propagation join so
-        // convergence is read off the SAME materialization (the eager
-        // checkpoint job) — no per-round extra join.
-        val next = labels.withColumnRenamed("label", "prev")
-          .join(proposals, Seq("id"), "left")
-          .select(col("id"),
-            least(col("prev"), coalesce(col("nbr"), col("prev"))).as("label"),
-            col("prev"))
-          .localCheckpoint(true)
+          .select(col("dst").as("id"), col("label"),
+            lit(null).cast(LongType).as("prev"))
+        val next = own.union(nbr)
+          .groupBy(col("id"))
+          .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
+          .localCheckpoint(false)
         val changed = next.where(col("label") =!= col("prev")).count()
         labels = next.select(col("id"), col("label"))
         converged = changed == 0
@@ -482,11 +524,20 @@ object Dedup {
    */
   def connectedComponentsStar(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 30): DataFrame = {
-    val nodes = pairs.select(col(aCol).cast(LongType).as("id"))
-      .union(pairs.select(col(bCol).cast(LongType).as("id"))).distinct()
-    var edges = pairs
+    // Materialize the input pair set ONCE: `nodes` is only read at the very
+    // end, and deriving it from the raw `pairs` plan would re-run the whole
+    // upstream pair-generation pipeline (minhash + verification at the
+    // call sites) a second time. It must come from the PRE-self-filter
+    // set — self-pair-only nodes still label themselves.
+    val pairs0 = pairs
       .select(col(aCol).cast(LongType).as("p"), col(bCol).cast(LongType).as("q"))
-      .where(col("p") =!= col("q")).distinct().localCheckpoint(true)
+      .localCheckpoint(false)
+    val nodes = pairs0.select(col("p").as("id"))
+      .union(pairs0.select(col("q").as("id"))).distinct()
+    // LAZY checkpoints throughout: the count that follows each checkpoint
+    // is its materializing job (one action per round instead of two);
+    // lineage is still truncated, so the plan stays constant-depth.
+    var edges = pairs0.where(col("p") =!= col("q")).distinct().localCheckpoint(false)
     var edgeCnt = edges.count()
     var iter = 0
     var converged = false
@@ -496,9 +547,15 @@ object Dedup {
       val sym = edges.union(edges.select(col("q").as("p"), col("p").as("q")))
         .toDF("u", "v")
       val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      // No mid-round distinct: each sym row with v > u emits at most one
+      // (p, q), so the un-deduped large-star output is bounded by the
+      // round's input edge count (the non-growing invariant holds), the
+      // small-star min is unaffected by duplicate edges, and the round's
+      // closing distinct yields the IDENTICAL next set — the intermediate
+      // dedup bought one exchange per round and nothing else.
       val afterLarge = sym.join(mins, "u").where(col("v") > col("u"))
         .select(col("v").as("p"), least(col("u"), col("mn")).as("q"))
-        .where(col("p") =!= col("q")).distinct()
+        .where(col("p") =!= col("q"))
       // small-star: orient toward the larger endpoint; point each
       // group's smaller neighbors AND the center at the group minimum.
       val oriented = afterLarge.select(
@@ -507,11 +564,14 @@ object Dedup {
       val next = oriented.join(mins2, "u")
         .select(col("v").as("p"), col("mn").as("q"))
         .union(mins2.select(col("u").as("p"), col("mn").as("q")))
-        .where(col("p") =!= col("q")).distinct().localCheckpoint(true)
+        .where(col("p") =!= col("q")).distinct().localCheckpoint(false)
       val nextCnt = next.count()
-      // count parity is necessary for a fixpoint; only then pay the
-      // exact set-equality probe (both sides checkpointed + distinct).
-      converged = nextCnt == edgeCnt && next.except(edges).count() == 0
+      // count parity is necessary for a fixpoint; only then pay the exact
+      // set-equality probe. Both sides are distinct + checkpointed, so
+      // edges ⊆ next with |edges| == |next| ⇔ equality — a plain anti-join
+      // (except() would add a redundant dedup pass on top of the same join).
+      converged = nextCnt == edgeCnt &&
+        edges.join(next, Seq("p", "q"), "left_anti").count() == 0
       edges = next
       edgeCnt = nextCnt
       iter += 1
@@ -525,7 +585,7 @@ object Dedup {
     // all edges (self-pairs only) label themselves.
     nodes.join(edges.select(col("p").as("id"), col("q").as("lb")), Seq("id"), "left")
       .groupBy("id").agg(min(coalesce(col("lb"), col("id"))).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // caller's first action materializes it
   }
 
   /**
@@ -561,9 +621,20 @@ object Dedup {
     df.join(removals, Seq(idCol), "left_anti")
   }
 
-  /** Exact brute-force embedding near-dups (oracle / small-N verification path). */
+  /** Exact brute-force embedding near-dups (oracle / small-N verification
+    * path). Like [[ngramJaccardPairs]], the small-N contract is ENFORCED:
+    * the input is counted up front and the call throws BEFORE any cross
+    * join is scheduled when it exceeds `maxRows` — an unguarded O(n²)
+    * cartesian reaching an unbounded frame is the scale failure this
+    * forbids. Use [[embeddingNearDups]] for unbounded inputs. */
   def embeddingNearDupsExact(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = 100000L): DataFrame = {
+    require(maxRows > 0, "maxRows must be positive")
+    val nRows = df.count()
+    require(nRows <= maxRows,
+      s"embeddingNearDupsExact is the exact small-N verifier: input has $nRows rows > " +
+        s"maxRows=$maxRows (~${nRows * nRows / 2} candidate pairs); use embeddingNearDups " +
+        "for unbounded inputs or raise maxRows deliberately")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val a = base.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = base.select(col("id").as("id_b"), col("v").as("v_b"))
