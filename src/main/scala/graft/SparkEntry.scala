@@ -61,6 +61,30 @@ object SparkEntry {
     (r.getLong(0), r.getLong(1))
   }
 
+  /**
+   * Shared pre-step of the d_components / d_components_star /
+   * d_neardup_keep / d_minhash_dups family: the bounded dup corpus and its
+   * DETERMINISTIC verified pair set (LSH candidates verified by exact
+   * distinct-token-set equality — recall provably 1.0, see d_minhash_dups).
+   * Join order note (measured): leaving BOTH broadcast builds independent
+   * (candidate side + second token side) lets AQE materialize them
+   * concurrently; chaining broadcasts (pairs → pairs+tk_a) serializes the
+   * builds and ran ~1.8× slower despite smaller payloads.
+   */
+  private def minhashVerified(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val withDups = dupCorpus(s, dir).where(col("doc_id") < 1000 || col("doc_id") >= 100000)
+    val cands = graft.ops.Dedup.minhashNearDups(withDups, "doc_id", "text",
+      numHashes = 32, bands = 8, shingleSize = 1, threshold = 1.0)
+    val toks = withDups.select(col("doc_id"),
+      array_sort(array_distinct(graft.functions.Text.tokens(col("text")))).as("tk"))
+    val verified = cands
+      .join(toks.select(col("doc_id").as("id_a"), col("tk").as("tk_a")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("tk").as("tk_b")), "id_b")
+      .where(col("tk_a") === col("tk_b"))
+      .select("id_a", "id_b")
+    (withDups, verified)
+  }
+
   /** Run two independent driver actions on concurrent threads (guide-style
     * job overlap): wall time becomes max(a, b) instead of a + b. Results
     * and failures propagate unchanged. */
@@ -213,15 +237,22 @@ object SparkEntry {
     "q_topk" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
-      orders.groupBy("o_custkey")
+      // top-k FIRST (TakeOrdered over the aggregate), dimension join on the
+      // 10 survivors: o_custkey ⊆ c_custkey holds in this domain (verified
+      // per SF), so joining after the limit is result-identical while the
+      // broadcast carries 10 rows instead of the whole customer dim. The
+      // tie-break on o_custkey equals the post-join c_custkey tie-break
+      // (join key equality); the final orderBy re-establishes output order.
+      val top = orders.groupBy("o_custkey")
         // DOUBLE final projection — see q1_agg note; ordering is unaffected
         // (scale-4 decimals < 2^53 map injectively + monotonically to double)
         .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"),
           count(lit(1)).as("n"))
-        .join(broadcast(customer), col("o_custkey") === customer("c_custkey"))
+        .orderBy(col("total").desc, col("o_custkey"))
+        .limit(10)
+      customer.join(broadcast(top), col("o_custkey") === customer("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("total"), col("n"))
         .orderBy(col("total").desc, col("c_custkey"))
-        .limit(10)
     }),
 
     // set ops: BUILDING-segment customers with no very-large orders (EXCEPT).
@@ -279,17 +310,7 @@ object SparkEntry {
     // synthetic texts form big equal-word-set clusters whose pair count
     // grows quadratically). The unbounded scalable path is d_minhash_near.
     "d_minhash_dups" -> ((s, dir) => {
-      val withDups = dupCorpus(s, dir).where(col("doc_id") < 1000 || col("doc_id") >= 100000)
-      val cands = graft.ops.Dedup.minhashNearDups(withDups, "doc_id", "text",
-        numHashes = 32, bands = 8, shingleSize = 1, threshold = 1.0)
-      val toks = withDups.select(col("doc_id"),
-        array_sort(array_distinct(graft.functions.Text.tokens(col("text")))).as("tk"))
-      cands
-        .join(toks.select(col("doc_id").as("id_a"), col("tk").as("tk_a")), "id_a")
-        .join(toks.select(col("doc_id").as("id_b"), col("tk").as("tk_b")), "id_b")
-        .where(col("tk_a") === col("tk_b"))
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
+      minhashVerified(s, dir)._2.orderBy("id_a", "id_b")
     }),
 
     // near-dup pairs → transitive CLUSTERS: connected components over the
@@ -298,16 +319,7 @@ object SparkEntry {
     // label equals the per-group min doc_id: a DuckDB window closed form
     // over the whole pairs→CC machinery.
     "d_components" -> ((s, dir) => {
-      val withDups = dupCorpus(s, dir).where(col("doc_id") < 1000 || col("doc_id") >= 100000)
-      val cands = graft.ops.Dedup.minhashNearDups(withDups, "doc_id", "text",
-        numHashes = 32, bands = 8, shingleSize = 1, threshold = 1.0)
-      val toks = withDups.select(col("doc_id"),
-        array_sort(array_distinct(graft.functions.Text.tokens(col("text")))).as("tk"))
-      val verified = cands
-        .join(toks.select(col("doc_id").as("id_a"), col("tk").as("tk_a")), "id_a")
-        .join(toks.select(col("doc_id").as("id_b"), col("tk").as("tk_b")), "id_b")
-        .where(col("tk_a") === col("tk_b"))
-        .select("id_a", "id_b")
+      val (_, verified) = minhashVerified(s, dir)
       graft.ops.Dedup.connectedComponents(verified).orderBy("id")
     }),
 
@@ -315,16 +327,7 @@ object SparkEntry {
     // path (the unbounded-diameter scale algorithm) — identical labels,
     // same closed-form oracle as d_components
     "d_components_star" -> ((s, dir) => {
-      val withDups = dupCorpus(s, dir).where(col("doc_id") < 1000 || col("doc_id") >= 100000)
-      val cands = graft.ops.Dedup.minhashNearDups(withDups, "doc_id", "text",
-        numHashes = 32, bands = 8, shingleSize = 1, threshold = 1.0)
-      val toks = withDups.select(col("doc_id"),
-        array_sort(array_distinct(graft.functions.Text.tokens(col("text")))).as("tk"))
-      val verified = cands
-        .join(toks.select(col("doc_id").as("id_a"), col("tk").as("tk_a")), "id_a")
-        .join(toks.select(col("doc_id").as("id_b"), col("tk").as("tk_b")), "id_b")
-        .where(col("tk_a") === col("tk_b"))
-        .select("id_a", "id_b")
+      val (_, verified) = minhashVerified(s, dir)
       graft.ops.Dedup.connectedComponentsStar(verified).orderBy("id")
     }),
 
@@ -333,16 +336,7 @@ object SparkEntry {
     // Same provable-recall verified pair set as d_components, so the kept
     // set is the SQL-expressible "min doc_id per equal-word-set group".
     "d_neardup_keep" -> ((s, dir) => {
-      val withDups = dupCorpus(s, dir).where(col("doc_id") < 1000 || col("doc_id") >= 100000)
-      val cands = graft.ops.Dedup.minhashNearDups(withDups, "doc_id", "text",
-        numHashes = 32, bands = 8, shingleSize = 1, threshold = 1.0)
-      val toks = withDups.select(col("doc_id"),
-        array_sort(array_distinct(graft.functions.Text.tokens(col("text")))).as("tk"))
-      val verified = cands
-        .join(toks.select(col("doc_id").as("id_a"), col("tk").as("tk_a")), "id_a")
-        .join(toks.select(col("doc_id").as("id_b"), col("tk").as("tk_b")), "id_b")
-        .where(col("tk_a") === col("tk_b"))
-        .select("id_a", "id_b")
+      val (withDups, verified) = minhashVerified(s, dir)
       graft.ops.Dedup.dedupByPairs(withDups, "doc_id", verified)
         .select("doc_id").orderBy("doc_id")
     }),

@@ -130,22 +130,49 @@ object ValidationRunner {
   def columnStats(df: DataFrame, cols: Seq[String], exactDistinct: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val aggs: Seq[Column] = cols.flatMap { c =>
-      Seq(
-        count(lit(1)).as(s"${c}__cnt"),
-        sum(col(c).isNull.cast(LongType)).as(s"${c}__nulls"),
-        min(col(c).cast(StringType)).as(s"${c}__min"),
-        max(col(c).cast(StringType)).as(s"${c}__max"),
-        (if (exactDistinct) count_distinct(col(c)) else approx_count_distinct(col(c)))
-          .as(s"${c}__distinct"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    cols.zipWithIndex.map { case (c, i) =>
-      val b = i * 5
-      (c, row.getLong(b), row.getLong(b + 1),
-        Option(row.get(b + 2)).map(_.toString).orNull,
-        Option(row.get(b + 3)).map(_.toString).orNull,
-        row.getLong(b + 4))
+    def aggsFor(c: String): Seq[Column] = Seq(
+      count(lit(1)).as(s"${c}__cnt"),
+      sum(col(c).isNull.cast(LongType)).as(s"${c}__nulls"),
+      min(col(c).cast(StringType)).as(s"${c}__min"),
+      max(col(c).cast(StringType)).as(s"${c}__max"),
+      (if (exactDistinct) count_distinct(col(c)) else approx_count_distinct(col(c)))
+        .as(s"${c}__distinct"))
+    val stats: Seq[(String, Seq[Any])] =
+      if (!exactDistinct) {
+        // HLL sketches partial-aggregate, so ONE pass over all columns is
+        // strictly cheapest — the production path at unbounded scale.
+        val aggs = cols.flatMap(aggsFor)
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        cols.zipWithIndex.map { case (c, i) => c -> (0 until 5).map(j => row.get(i * 5 + j)) }
+      } else {
+        // EXACT distincts over N columns in one agg make Catalyst Expand
+        // every input row N-fold before the first shuffle — at 10^12 rows
+        // that N× row blowup is the dominant cost of the audit path. N
+        // per-column aggregates read the SAME total bytes from columnar
+        // storage (each column scanned once, pruned to itself) with no
+        // Expand; submitting them from concurrent driver threads overlaps
+        // their stages, so wall time is max, not sum.
+        val out = new Array[Seq[Any]](cols.size)
+        @volatile var err: Option[Throwable] = None
+        val threads = cols.zipWithIndex.map { case (c, i) =>
+          val t = new Thread(() => {
+            try {
+              val a = aggsFor(c)
+              val row = df.select(col(c)).agg(a.head, a.tail: _*).collect()(0)
+              out(i) = (0 until 5).map(row.get)
+            } catch { case e: Throwable => err = Some(e) }
+          }, s"colstats-$c")
+          t.start(); t
+        }
+        threads.foreach(_.join())
+        err.foreach(e => throw e)
+        cols.zipWithIndex.map { case (c, i) => c -> out(i) }
+      }
+    stats.map { case (c, s) =>
+      (c, s(0).asInstanceOf[Long], s(1).asInstanceOf[Long],
+        Option(s(2)).map(_.toString).orNull,
+        Option(s(3)).map(_.toString).orNull,
+        s(4).asInstanceOf[Long])
     }.toDF("column", "cnt", "nulls", "min_s", "max_s", "n_distinct")
   }
 
