@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Vectors
-import scala.collection.mutable
 
 /**
  * Approximate-nearest-neighbor search over an embedding column.
@@ -25,53 +24,63 @@ object Ann {
   /** (score, id) pair kept in heaps / results. */
   final case class Scored(score: Double, id: Long)
 
+  /** Flat top-k buffer: paired primitive arrays + fill count. Encoded by
+    * the ordinary product encoder as (array<bigint>, array<double>, int) —
+    * an UnsafeRow-friendly layout, unlike a kryo-blob map, so shuffle
+    * serialization is a flat copy and any future spill path stays on
+    * UnsafeRow. Arrays are sized k once per buffer. */
+  final case class TopKBuf(ids: Array[Long], scores: Array[Double], n: Int)
+
   /**
    * Bounded top-k aggregator with map-side partials, DISTINCT by id, and a
    * deterministic tie-break (score desc, then id asc — matching a
    * `row_number` over `orderBy(score.desc, id)`).
    *
-   * The buffer is an id→score map of at most k entries, so the same
-   * candidate arriving through several LSH probes / IVF cells costs one
-   * slot, not k — no upstream `dropDuplicates` exchange is needed. Each
-   * partition contributes ≤k entries to the one shuffle; the per-insert
-   * worst-entry scan is O(k) on a tiny constant (k ≲ 100 in any sane ANN).
+   * The buffer holds at most k (id, score) entries, so the same candidate
+   * arriving through several LSH probes / IVF cells costs one slot, not k
+   * — no upstream `dropDuplicates` exchange is needed. Each partition
+   * contributes ≤k entries to the one shuffle; the per-insert linear scan
+   * (membership + worst entry in one pass) is O(k) on a tiny constant
+   * (k ≲ 100 in any sane ANN) over two primitive arrays — cheaper in
+   * practice than the boxed HashMap it replaces, and the buffer encodes
+   * as flat arrays instead of a kryo object blob.
    */
-  class TopKAggregator(k: Int)
-      extends Aggregator[Scored, mutable.HashMap[Long, Double], Seq[Scored]] {
+  class TopKAggregator(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
     require(k > 0, "k must be positive")
     private def beats(s: Double, id: Long, ws: Double, wid: Long): Boolean =
       s > ws || (s == ws && id < wid)
-    private def add(h: mutable.HashMap[Long, Double], id: Long, s: Double)
-        : mutable.HashMap[Long, Double] = {
-      if (!h.contains(id)) {
-        if (h.size < k) h.update(id, s)
-        else {
-          // find the worst entry: lowest score, ties broken to HIGHEST id
-          // (so the kept set is the same one the window rank would keep)
-          var wid = 0L; var ws = 0.0; var first = true
-          h.foreach { case (hid, hs) =>
-            if (first || hs < ws || (hs == ws && hid > wid)) {
-              ws = hs; wid = hid; first = false
-            }
-          }
-          if (beats(s, id, ws, wid)) { h.remove(wid); h.update(id, s) }
-        }
+    private def add(b: TopKBuf, id: Long, s: Double): TopKBuf = {
+      // one pass: bail on duplicate id, track the worst entry (lowest
+      // score, ties broken to HIGHEST id — the same set a window rank
+      // over (score desc, id asc) would keep)
+      var worst = -1; var i = 0
+      while (i < b.n) {
+        if (b.ids(i) == id) return b
+        if (worst < 0 || b.scores(i) < b.scores(worst) ||
+            (b.scores(i) == b.scores(worst) && b.ids(i) > b.ids(worst))) worst = i
+        i += 1
       }
-      h
+      if (b.n < k) {
+        b.ids(b.n) = id; b.scores(b.n) = s
+        b.copy(n = b.n + 1)
+      } else {
+        if (beats(s, id, b.scores(worst), b.ids(worst))) {
+          b.ids(worst) = id; b.scores(worst) = s
+        }
+        b
+      }
     }
-    override def zero = mutable.HashMap.empty[Long, Double]
-    override def reduce(h: mutable.HashMap[Long, Double], a: Scored) =
-      add(h, a.id, a.score)
-    override def merge(h1: mutable.HashMap[Long, Double],
-        h2: mutable.HashMap[Long, Double]) = {
-      h2.foreach { case (id, s) => add(h1, id, s) }
-      h1
+    override def zero: TopKBuf = TopKBuf(new Array[Long](k), new Array[Double](k), 0)
+    override def reduce(b: TopKBuf, a: Scored): TopKBuf = add(b, a.id, a.score)
+    override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+      var out = b1; var i = 0
+      while (i < b2.n) { out = add(out, b2.ids(i), b2.scores(i)); i += 1 }
+      out
     }
-    override def finish(h: mutable.HashMap[Long, Double]): Seq[Scored] =
-      h.iterator.map { case (id, s) => Scored(s, id) }.toSeq
+    override def finish(b: TopKBuf): Seq[Scored] =
+      (0 until b.n).map(i => Scored(b.scores(i), b.ids(i)))
         .sortBy(s => (-s.score, s.id))
-    override def bufferEncoder: Encoder[mutable.HashMap[Long, Double]] =
-      Encoders.kryo[mutable.HashMap[Long, Double]]
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     override def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }

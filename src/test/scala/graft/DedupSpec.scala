@@ -151,6 +151,33 @@ class DedupSpec extends SparkTestBase {
     assert(keptChain.count() === 1L)
   }
 
+  test("exact dedup: skewed corpus (one group ~10% of rows) keeps min-id representative") {
+    val spark0 = spark
+    import spark0.implicits._
+    // one hot exact-dup group at 10% of the corpus — the windowed keep-one
+    // form sent this whole group to one task's sort; the agg + anti-join
+    // form collapses it map-side. Correctness must be unchanged.
+    val base = (0 until 9000).map(i => (i.toLong, s"unique text number $i"))
+    val hot = (9000 until 10000).map(i => (i.toLong, "hot template text"))
+    val df = (base ++ hot).toDF("id", "text").repartition(8)
+    val kept = Dedup.exactDedup(df, "text", "id")
+    assert(kept.count() === 9001L) // 9000 uniques + 1 hot representative
+    assert(kept.where(col("id") >= 9000).collect().map(_.getLong(0)).toSeq === Seq(9000L))
+  }
+
+  test("embedding exact near-dups: over-budget input throws before any cross join runs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (0 until 30).map(i => (i.toLong,
+      (0 until 8).map(d => math.sin(i + d).toFloat).toArray)).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsExact(df, "id", "vec", 0.5, maxRows = 10)
+    }
+    assert(e.getMessage.contains("embeddingNearDups"))
+    // raising the bound deliberately re-admits the same input
+    assert(Dedup.embeddingNearDupsExact(df, "id", "vec", -1.0, maxRows = 50).count() > 0)
+  }
+
   test("ngram jaccard: over-budget input throws before any cross join runs") {
     val df = corpus(30)
     val e = intercept[IllegalArgumentException] {

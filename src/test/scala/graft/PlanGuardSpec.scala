@@ -141,4 +141,20 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"precision pin went quadratic:\n${p.take(3000)}")
   }
+
+  test("exactDedup keep-one is agg + anti-join, never a window over the content hash") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"text-${i % 10}")).toDF("id", "text")
+    val plan = physical(graft.ops.Dedup.exactDedup(df, "text", "id"))
+    // a window partitioned by md5(text) lands every row of a hot dup group
+    // (templated pages: 10^8 rows of one text at web scale) on ONE task's
+    // sort — the exact skew this operator exists to remove
+    assert(!plan.contains("Window"),
+      s"exactDedup must not window over the content hash:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate"),
+      s"exactDedup should collapse dup mass via partial aggregation:\n${plan.take(3000)}")
+    assert(plan.contains("LeftAnti"),
+      s"exactDedup should anti-join the removal set:\n${plan.take(3000)}")
+  }
 }
