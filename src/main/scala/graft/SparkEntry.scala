@@ -61,6 +61,15 @@ object SparkEntry {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** (query_id, neighbor_id) result set collected to the driver — recall
+    * pins compare #queries × k ≤ 100 rows, so set intersection is a
+    * driver-trivial operation, and collecting the two legs independently
+    * lets the brute leg run CONCURRENTLY with the approx leg's driver-side
+    * training (which the single-action join form had to serialize behind). */
+  private def neighborSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
   /**
    * Shared pre-step of the d_components / d_components_star /
    * d_neardup_keep / d_minhash_dups family: the bounded dup corpus and its
@@ -479,19 +488,22 @@ object SparkEntry {
       // hitting 0.9 honestly needs nProbe ≈ 3/4·nCells here (measured
       // 0.95 at sf0.01). The clustered 100k bench corpus shows the real
       // dial: recall ≥0.9 at nProbe=8 ≪ √n cells (BENCH ivf_nprobe_recall).
-      val n = docs.count()
-      val nCells = math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
-      val nProbe = math.max(8, (nCells * 3 + 3) / 4)
-      val cents = graft.ops.Ann.trainCentroids(docs, "vec_id", "embedding",
-        nCells = nCells, sampleN = math.max(nCells * 40, 2000), iters = 10)
-      val ivf = graft.ops.Ann.ivfTopK(docs, queries, "vec_id", "embedding",
-        "vec_id", "embedding", k = 5, centroids = cents, nProbe = nProbe)
-        .select("query_id", "neighbor_id")
-      val brute = graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
-        "vec_id", "embedding", k = 5)
-        .select("query_id", "neighbor_id")
-      val (matched, total) = recallCounts(ivf, brute)
-      val recall = if (total == 0) 0.0 else matched.toDouble / total
+      // the brute oracle is independent of the IVF leg's count+train+probe
+      // chain — run the two legs on concurrent threads (sets are ≤100 rows)
+      val (bruteSet, ivfSet) = inParallel(
+        neighborSet(graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5)),
+        {
+          val n = docs.count()
+          val nCells = math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
+          val nProbe = math.max(8, (nCells * 3 + 3) / 4)
+          val cents = graft.ops.Ann.trainCentroids(docs, "vec_id", "embedding",
+            nCells = nCells, sampleN = math.max(nCells * 40, 2000), iters = 10)
+          neighborSet(graft.ops.Ann.ivfTopK(docs, queries, "vec_id", "embedding",
+            "vec_id", "embedding", k = 5, centroids = cents, nProbe = nProbe))
+        })
+      val total = bruteSet.size
+      val recall = if (total == 0) 0.0 else ivfSet.intersect(bruteSet).size.toDouble / total
       Seq(((if (recall >= 0.9) 1L else 0L), (if (total > 0) 1L else 0L)))
         .toDF("recall_floor_met", "has_rows")
     }),
@@ -506,15 +518,17 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, dir, "embeddings")
       val queries = docs.where(col("vec_id") < 20)
-      val model = graft.ops.Pq.train(docs, "vec_id", "embedding", m = 8, iters = 10)
-      val pq = graft.ops.Pq.topK(docs, queries, "vec_id", "embedding",
-        "vec_id", "embedding", k = 5, model, rerank = 25)
-        .select("query_id", "neighbor_id")
-      val brute = graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
-        "vec_id", "embedding", k = 5)
-        .select("query_id", "neighbor_id")
-      val (matched, total) = recallCounts(pq, brute)
-      val recall = if (total == 0) 0.0 else matched.toDouble / total
+      // brute oracle runs concurrently with PQ train + compressed scan
+      val (bruteSet, pqSet) = inParallel(
+        neighborSet(graft.ops.Ann.bruteTopK(docs, queries, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5)),
+        {
+          val model = graft.ops.Pq.train(docs, "vec_id", "embedding", m = 8, iters = 10)
+          neighborSet(graft.ops.Pq.topK(docs, queries, "vec_id", "embedding",
+            "vec_id", "embedding", k = 5, model, rerank = 25))
+        })
+      val total = bruteSet.size
+      val recall = if (total == 0) 0.0 else pqSet.intersect(bruteSet).size.toDouble / total
       Seq(((if (recall >= 0.9) 1L else 0L), (if (total > 0) 1L else 0L)))
         .toDF("recall_floor_met", "has_rows")
     }),

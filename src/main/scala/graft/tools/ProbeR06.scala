@@ -89,6 +89,16 @@ object ProbeR06 {
           phase("columnStats")(graft.exec.ValidationRunner.columnStats(t("documents"),
             Seq("doc_id", "text", "lang", "source", "n_chars"), exactDistinct = true)
             .orderBy("column").count())
+        case "media" =>
+          for (p <- Seq(8, 16, 32)) {
+            phase(s"media_p$p") {
+              val media = graft.ops.Multimodal.synthesizeMedia(spark, 2000, numPartitions = p)
+              graft.ops.Multimodal.extractFeatures(media).toDF()
+                .groupBy(col("mime"), col("ok").cast("long").as("ok"))
+                .agg(count(lit(1)).as("n"), sum(col("feat_dim")).as("dims"))
+                .count()
+            }
+          }
         case "simhash" =>
           val docs = t("documents")
           val withDups = docs.select(col("doc_id"), col("text"))
