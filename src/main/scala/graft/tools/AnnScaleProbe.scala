@@ -109,11 +109,21 @@ object AnnScaleProbe {
     // the persisted IVF×PQ index; each timed leg pays only the in-cell ADC
     // scan + exact re-rank — both ANN dials composed (count via cells,
     // bytes via codes)
-    val pqCodesPath = s"$path-ivfpq-v2"
-    if (!skipPq && !new java.io.File(s"$pqCodesPath/_SUCCESS").exists()) {
-      DedupCorpus.AnnProbe.encodeIvfPq(spark.read.parquet(path), cents, pqModel)
-        .write.mode("overwrite").parquet(pqCodesPath)
+    // The codes path carries every parameter the persisted index depends on
+    // (corpus formula version is already in `path`) — a param change can
+    // never score a stale index against freshly trained centroids/codebooks;
+    // materialize() gives the same temp+rename protocol as the corpora.
+    val pqCodesFingerprint = {
+      val p = DedupCorpus.AnnProbe
+      s"ivf${ivfCells}x${p.ivfSampleN(nAnn)}x${p.IvfIters}-" +
+        s"pq${p.PqM}x${p.PqSampleN}x${p.PqIters}"
     }
+    val pqCodesPath = if (skipPq) null else
+      DedupCorpus.materialize(s"$path-ivfpq-$pqCodesFingerprint",
+          expectedBytes = nAnn * 32L) { tmp =>
+        DedupCorpus.AnnProbe.encodeIvfPq(spark.read.parquet(path), cents, pqModel)
+          .write.mode("overwrite").parquet(tmp)
+      }
     def pqLeg(width: Int): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions",
         if (width > 0) width.toString else cpus.toString)

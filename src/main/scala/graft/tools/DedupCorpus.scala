@@ -76,23 +76,49 @@ object DedupCorpus {
     if (shm.isDirectory || shm.mkdirs()) shm.getAbsolutePath else "/tmp"
   }
 
-  def ensure(spark: SparkSession, n: Long, degen: Long = 20000L): String = {
-    val path = s"$benchRoot/graft_dedup_corpus_v${FormulaVersion}_${n}_$degen"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      val tmp = s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}"
-      generate(spark, n, 256, degen).write.mode("overwrite").parquet(tmp)
-      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
+  /** Write-once materialization with temp-dir + atomic rename (race-safe
+    * across concurrent JVMs: the loser of the rename discards its build and
+    * uses the winner's). Returns the path actually used: when the preferred
+    * root is the ramdisk and it lacks ~1.5× `expectedBytes` of headroom, the
+    * corpus goes under /tmp instead — an ENOSPC mid-write on a small
+    * /dev/shm would leave a partial dir and steal memory from the executors
+    * under test (r5 ADVICE). */
+  def materialize(path: String, expectedBytes: Long)(write: String => Unit): String = {
+    def done(p: String) = new java.io.File(s"$p/_SUCCESS").exists()
+    val target =
+      if (done(path) || !path.startsWith("/dev/shm")) path
+      else {
+        val usable = new java.io.File(path).getParentFile.getUsableSpace
+        if (usable >= expectedBytes * 3 / 2) path
+        else {
+          val alt = "/tmp/" + new java.io.File(path).getName
+          System.err.println(s"[corpus] /dev/shm has $usable B usable < 1.5x " +
+            s"expected $expectedBytes B — materializing at $alt instead")
+          alt
+        }
+      }
+    if (!done(target)) {
+      val tmp = s"${target}_build_${java.util.UUID.randomUUID().toString.take(8)}"
+      write(tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(target))) {
         // another JVM won the rename; discard ours
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
         }
         rm(new java.io.File(tmp))
-        require(new java.io.File(s"$path/_SUCCESS").exists(),
-          s"corpus materialization race left no usable corpus at $path")
+        require(done(target),
+          s"corpus materialization race left no usable corpus at $target")
       }
     }
-    path
+    target
   }
+
+  def ensure(spark: SparkSession, n: Long, degen: Long = 20000L): String =
+    // ~200 B of text per doc; parquet compresses but budget the raw size
+    materialize(s"$benchRoot/graft_dedup_corpus_v${FormulaVersion}_${n}_$degen",
+        expectedBytes = n * 200L) { tmp =>
+      generate(spark, n, 256, degen).write.mode("overwrite").parquet(tmp)
+    }
 
   /** THE probe parameterization — one definition shared by `graft.Bench`,
     * `ScaleBench dedup`, `ABDedup`, and `StageProfile`, so the numbers the
@@ -153,23 +179,14 @@ object DedupCorpus {
     * (doc_id, vec). Same race-safe rename protocol as [[ensure]]. */
   def ensureAnn(spark: SparkSession, n: Long): String = {
     import spark.implicits._
-    val path = s"$benchRoot/graft_ann_corpus_v${AnnFormulaVersion}_$n"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      val tmp = s"${path}_build_${java.util.UUID.randomUUID().toString.take(8)}"
+    // 32 float32 lanes + id ≈ 140 B per doc raw
+    materialize(s"$benchRoot/graft_ann_corpus_v${AnnFormulaVersion}_$n",
+        expectedBytes = n * 140L) { tmp =>
       spark.range(0, n, 1, 64).as[Long]
         .map(id => (id, embedding(id)))
         .toDF("doc_id", "vec")
         .write.mode("overwrite").parquet(tmp)
-      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(tmp))
-        require(new java.io.File(s"$path/_SUCCESS").exists(),
-          s"ANN corpus materialization race left no usable corpus at $path")
-      }
     }
-    path
   }
 
   /** ANN probe parameterization shared by Bench and any A/B tool. */
@@ -196,10 +213,12 @@ object DedupCorpus {
     // fixed-bits sign-LSH lacks (its lists grow ~n/2^bits at constant
     // bits). This is the scale path the bench probes.
     val IvfProbes = 8
+    val IvfIters = 5
     def ivfCells(n: Long): Int = math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
+    def ivfSampleN(n: Long): Int = math.max(20000, ivfCells(n) * 40)
     def trainIvf(docs: DataFrame, n: Long): Array[Array[Double]] =
       graft.ops.Ann.trainCentroids(docs, "doc_id", "vec", nCells = ivfCells(n),
-        sampleN = math.max(20000, ivfCells(n) * 40), iters = 5)
+        sampleN = ivfSampleN(n), iters = IvfIters)
     def ivf(docs: DataFrame, cents: Array[Array[Double]], nProbe: Int = IvfProbes): DataFrame =
       graft.ops.Ann.ivfTopK(docs, queries(docs), "doc_id", "vec", "doc_id", "vec",
         k = K, centroids = cents, nProbe = nProbe)
@@ -215,8 +234,11 @@ object DedupCorpus {
     // cost of 100 exact cosines per query).
     val PqM = 8
     val PqRerank = 10 * K
+    val PqSampleN = 20000
+    val PqIters = 5
     def trainPq(docs: DataFrame): graft.ops.Pq.PqModel =
-      graft.ops.Pq.train(docs, "doc_id", "vec", m = PqM, sampleN = 20000, iters = 5)
+      graft.ops.Pq.train(docs, "doc_id", "vec", m = PqM, sampleN = PqSampleN,
+        iters = PqIters)
     def pq(docs: DataFrame, model: graft.ops.Pq.PqModel): DataFrame =
       graft.ops.Pq.topK(docs, queries(docs), "doc_id", "vec", "doc_id", "vec",
         k = K, model, rerank = PqRerank)
